@@ -1,0 +1,23 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax imports.
+
+This is the standard JAX fake-backend trick (SURVEY.md section 4d): all
+sharding/mesh code paths are exercised on 8 virtual CPU devices, so the
+suite runs anywhere and multi-chip logic is tested without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
