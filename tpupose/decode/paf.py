@@ -1,0 +1,168 @@
+"""PAF line-integral limb scoring + greedy bipartite matching (jnp).
+
+TPU-native rebuild of the reference decode's connection stage
+(SURVEY.md C7): for each of 19 limbs, every candidate (A, B) peak pair is
+scored by sampling the limb's PAF channels at ``mid_num`` points along
+the segment, dotted with the unit direction; pairs pass if >=80% of
+midpoints exceed ``thre2`` and the distance-priored mean score is
+positive; accepted greedily best-first with endpoint exclusivity.
+
+All limbs are scored in one vmapped, batched gather (the reference's
+triple python loop), and the order-sensitive greedy accept is a masked
+``lax.scan`` over score-sorted candidates — sequential but tiny.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpupose import topology
+from tpupose.config import InferenceConfig
+
+
+def _limb_pair_scores(
+    paf_xy: jnp.ndarray,      # (H, W, 2) this limb's PAF channels
+    ax, ay, asc, avalid,      # (K,) candidate A table
+    bx, by, bsc, bvalid,      # (K,) candidate B table
+    mid_num: int,
+    thre2: float,
+    min_ratio: float,
+    height: float,
+):
+    """Score all K x K pairs of one limb. Returns (score_prior, ok, pair_score)."""
+    axf = ax.astype(jnp.float32)
+    ayf = ay.astype(jnp.float32)
+    bxf = bx.astype(jnp.float32)
+    byf = by.astype(jnp.float32)
+
+    dx = bxf[None, :] - axf[:, None]                    # (K, K)
+    dy = byf[None, :] - ayf[:, None]
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    norm_safe = jnp.maximum(norm, 1e-8)
+    ux = dx / norm_safe
+    uy = dy / norm_safe
+
+    t = jnp.linspace(0.0, 1.0, mid_num)                 # (M,)
+    mx = axf[:, None, None] + dx[:, :, None] * t        # (K, K, M)
+    my = ayf[:, None, None] + dy[:, :, None] * t
+    ix = jnp.round(mx).astype(jnp.int32)
+    iy = jnp.round(my).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, paf_xy.shape[1] - 1)
+    iy = jnp.clip(iy, 0, paf_xy.shape[0] - 1)
+
+    sampled = paf_xy[iy, ix]                            # (K, K, M, 2)
+    score_mid = sampled[..., 0] * ux[:, :, None] + sampled[..., 1] * uy[:, :, None]
+
+    mean = score_mid.mean(axis=-1)
+    prior = mean + jnp.minimum(0.5 * height / norm_safe - 1.0, 0.0)
+    crit1 = (score_mid > thre2).sum(axis=-1) > min_ratio * mid_num
+    ok = (
+        crit1
+        & (prior > 0)
+        & avalid[:, None]
+        & bvalid[None, :]
+        & (norm > 1e-8)
+    )
+    pair_score = prior + asc[:, None] + bsc[None, :]
+    return prior, ok, pair_score
+
+
+def _greedy_accept(prior, ok, n_a, n_b, max_conn: int, scan_cap: int):
+    """Order-sensitive greedy accept over score-sorted candidate pairs.
+
+    Returns fixed-size (max_conn,) tables: a_slot, b_slot, score, valid —
+    in acceptance (= score-descending) order.
+    """
+    k = prior.shape[0]
+    flat = jnp.where(ok, prior, -jnp.inf).reshape(-1)
+    cap = min(scan_cap, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, cap)
+    ai = top_idx // k
+    bi = top_idx % k
+
+    limit = jnp.minimum(n_a, n_b)
+
+    def step(carry, inp):
+        used_a, used_b, out_a, out_b, out_s, out_v, n = carry
+        s, i, j = inp
+        accept = (
+            jnp.isfinite(s)
+            & jnp.logical_not(used_a[i])
+            & jnp.logical_not(used_b[j])
+            & (n < limit)
+        )
+        used_a = used_a.at[i].set(used_a[i] | accept)
+        used_b = used_b.at[j].set(used_b[j] | accept)
+        out_a = jnp.where(accept, out_a.at[n].set(i), out_a)
+        out_b = jnp.where(accept, out_b.at[n].set(j), out_b)
+        out_s = jnp.where(accept, out_s.at[n].set(s), out_s)
+        out_v = jnp.where(accept, out_v.at[n].set(True), out_v)
+        n = n + accept.astype(jnp.int32)
+        return (used_a, used_b, out_a, out_b, out_s, out_v, n), None
+
+    init = (
+        jnp.zeros((k,), bool),
+        jnp.zeros((k,), bool),
+        jnp.zeros((max_conn,), jnp.int32),
+        jnp.zeros((max_conn,), jnp.int32),
+        jnp.zeros((max_conn,), jnp.float32),
+        jnp.zeros((max_conn,), bool),
+        jnp.int32(0),
+    )
+    (_, _, out_a, out_b, out_s, out_v, _), _ = jax.lax.scan(
+        step, init, (top_scores, ai, bi)
+    )
+    return out_a, out_b, out_s, out_v
+
+
+@partial(jax.jit, static_argnames=("mid_num", "thre2", "min_ratio", "scan_cap"))
+def score_limbs(
+    paf: jnp.ndarray,          # (H, W, 38)
+    peaks: dict[str, jnp.ndarray],
+    mid_num: int = 10,
+    thre2: float = 0.05,
+    min_ratio: float = 0.8,
+    scan_cap: int = 512,
+) -> dict[str, jnp.ndarray]:
+    """All-limb connection tables in decode order.
+
+    Returns dict of (19, K) arrays: a_slot, b_slot (peak slots within the
+    endpoint part channels), score, valid — acceptance-ordered per limb.
+    """
+    part_pairs, paf_chans = topology.decode_limb_tables()
+    part_pairs = jnp.asarray(part_pairs)
+    paf_chans = jnp.asarray(paf_chans)
+
+    h = paf.shape[0]
+    k = peaks["xs"].shape[1]
+
+    xs_a = peaks["xs"][part_pairs[:, 0]]     # (19, K)
+    ys_a = peaks["ys"][part_pairs[:, 0]]
+    sc_a = peaks["scores"][part_pairs[:, 0]]
+    va_a = peaks["valid"][part_pairs[:, 0]]
+    xs_b = peaks["xs"][part_pairs[:, 1]]
+    ys_b = peaks["ys"][part_pairs[:, 1]]
+    sc_b = peaks["scores"][part_pairs[:, 1]]
+    va_b = peaks["valid"][part_pairs[:, 1]]
+
+    paf_limb = jnp.stack(
+        [paf[:, :, paf_chans[:, 0]], paf[:, :, paf_chans[:, 1]]], axis=-1
+    )                                         # (H, W, 19, 2)
+    paf_limb = jnp.moveaxis(paf_limb, 2, 0)   # (19, H, W, 2)
+
+    def one_limb(paf_xy, ax, ay, asc, av, bx, by, bsc, bv):
+        prior, ok, _ = _limb_pair_scores(
+            paf_xy, ax, ay, asc, av, bx, by, bsc, bv,
+            mid_num, thre2, min_ratio, float(h),
+        )
+        n_a = av.sum().astype(jnp.int32)
+        n_b = bv.sum().astype(jnp.int32)
+        return _greedy_accept(prior, ok, n_a, n_b, k, scan_cap)
+
+    out_a, out_b, out_s, out_v = jax.vmap(one_limb)(
+        paf_limb, xs_a, ys_a, sc_a, va_a, xs_b, ys_b, sc_b, va_b
+    )
+    return {"a_slot": out_a, "b_slot": out_b, "score": out_s, "valid": out_v}
