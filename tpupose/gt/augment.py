@@ -1,0 +1,198 @@
+"""Batched on-device augmentation (rot / scale / flip / crop).
+
+TPU-native rebuild of the reference's ``py_rmpe_transformer.py``
+(SURVEY.md C11). The reference composes one 2x3 affine per sample and
+calls ``cv2.warpAffine`` on the host; here the affine is composed in
+jnp from `jax.random` draws and applied as a batched bilinear gather on
+device, so augmentation rides the training step instead of a CPU
+process behind a socket.
+
+Semantics preserved (AugmentConfig mirrors TransformationParams):
+  * scale = (target_dist / scale_provided) * U(scale_min, scale_max)
+  * rotation U(-max_rotate_degree, +max_rotate_degree)
+  * crop to boxsize^2 about the person centre + U(-center_perturb_max,
+    +center_perturb_max)^2 perturbation
+  * horizontal flip with p = flip_prob, including the L/R part-label
+    swap on the joints
+  * constant gray border (pad_value) outside the source image
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpupose import topology
+from tpupose.config import AugmentConfig, ModelConfig
+
+
+def sample_params(key: jax.Array, aug: AugmentConfig) -> dict[str, jnp.ndarray]:
+    """Random augmentation draws for one sample (reference
+    AugmentSelection.random)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "scale_mult": jax.random.uniform(
+            k1, (), minval=aug.scale_min, maxval=aug.scale_max
+        ),
+        "degrees": jax.random.uniform(
+            k2, (), minval=-aug.max_rotate_degree, maxval=aug.max_rotate_degree
+        ),
+        "perturb": jax.random.uniform(
+            k3, (2,), minval=-aug.center_perturb_max, maxval=aug.center_perturb_max
+        ),
+        "flip": jax.random.bernoulli(k4, aug.flip_prob),
+    }
+
+
+def identity_params() -> dict[str, jnp.ndarray]:
+    """Deterministic no-op draws (reference AugmentSelection.unrandom)."""
+    return {
+        "scale_mult": jnp.float32(1.0),
+        "degrees": jnp.float32(0.0),
+        "perturb": jnp.zeros((2,), jnp.float32),
+        "flip": jnp.asarray(False),
+    }
+
+
+def affine_matrix(
+    center: jnp.ndarray,          # (2,) person centre in source pixels
+    scale_provided: jnp.ndarray,  # () person height / boxsize
+    params: dict[str, jnp.ndarray],
+    aug: AugmentConfig,
+    out_size: int,
+) -> jnp.ndarray:
+    """2x3 source->output affine (same composition as the twin)."""
+    scale = aug.target_dist / jnp.maximum(scale_provided, 1e-6) * params["scale_mult"]
+    t = jnp.deg2rad(params["degrees"])
+    c, s = jnp.cos(t), jnp.sin(t)
+    f = jnp.where(params["flip"], -1.0, 1.0)
+
+    cx = center[0] + params["perturb"][0]
+    cy = center[1] + params["perturb"][1]
+    half = out_size / 2.0
+
+    # full = T(out/2) @ Flip @ Rot @ Scale @ T(-center)
+    a00 = f * c * scale
+    a01 = f * (-s) * scale
+    a10 = s * scale
+    a11 = c * scale
+    tx = -(a00 * cx + a01 * cy) + half
+    ty = -(a10 * cx + a11 * cy) + half
+    return jnp.asarray([[a00, a01, tx], [a10, a11, ty]])
+
+
+def _invert_affine(m: jnp.ndarray) -> jnp.ndarray:
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    inv00 = m[1, 1] / det
+    inv01 = -m[0, 1] / det
+    inv10 = -m[1, 0] / det
+    inv11 = m[0, 0] / det
+    tx = -(inv00 * m[0, 2] + inv01 * m[1, 2])
+    ty = -(inv10 * m[0, 2] + inv11 * m[1, 2])
+    return jnp.asarray([[inv00, inv01, tx], [inv10, inv11, ty]])
+
+
+def warp_image(
+    img: jnp.ndarray, affine: jnp.ndarray, out_size: int, border_value: float
+) -> jnp.ndarray:
+    """Bilinear inverse-mapped warp with constant border, (H, W, C) input.
+
+    Equivalent to cv2.warpAffine(INTER_LINEAR, BORDER_CONSTANT) — the hot
+    per-pixel gather the reference does on CPU, here one XLA program.
+    """
+    inv = _invert_affine(affine)
+    idx = jnp.arange(out_size, dtype=jnp.float32)
+    xs = jnp.broadcast_to(idx[None, :], (out_size, out_size))
+    ys = jnp.broadcast_to(idx[:, None], (out_size, out_size))
+    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = (src_x - x0)[..., None]
+    fy = (src_y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        vals = img[yc, xc].astype(jnp.float32)
+        return jnp.where(inside[..., None], vals, border_value)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def transform_joints(
+    joints: jnp.ndarray, affine: jnp.ndarray, flip: jnp.ndarray, out_size: int
+) -> jnp.ndarray:
+    """Affine on (P, 18, 3) joints; L/R label swap on flip; out-of-frame
+    joints marked absent (v = 2)."""
+    x = joints[..., 0]
+    y = joints[..., 1]
+    nx = affine[0, 0] * x + affine[0, 1] * y + affine[0, 2]
+    ny = affine[1, 0] * x + affine[1, 1] * y + affine[1, 2]
+    out = jnp.stack([nx, ny, joints[..., 2]], axis=-1)
+
+    perm = jnp.asarray(topology.FLIP_PERMUTATION)
+    out = jnp.where(flip, out[:, perm, :], out)
+
+    off = (
+        (out[..., 0] < 0)
+        | (out[..., 0] >= out_size)
+        | (out[..., 1] < 0)
+        | (out[..., 1] >= out_size)
+    )
+    v = jnp.where(off, 2.0, out[..., 2])
+    return out.at[..., 2].set(v)
+
+
+@partial(jax.jit, static_argnames=("model", "aug", "training"))
+def augment_batch(
+    key: jax.Array,
+    images: jnp.ndarray,          # (N, H, W, 3) float (uint8-valued)
+    masks: jnp.ndarray,           # (N, H, W) miss-mask in [0, 1]
+    joints: jnp.ndarray,          # (N, P, 18, 3)
+    centers: jnp.ndarray,         # (N, 2) main-person centres
+    scales: jnp.ndarray,          # (N,) scale_provided = person_h / boxsize
+    model: ModelConfig,
+    aug: AugmentConfig,
+    training: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused augmentation program for the whole batch.
+
+    Returns (aug_images (N, box, box, 3), label_masks (N, L, L),
+    aug_joints (N, P, 18, 3)). The mask is warped at full resolution,
+    then box-averaged down to the label grid (reference: mask warped
+    with the image, consumed at stride 8).
+    """
+    n = images.shape[0]
+    box = model.boxsize
+    keys = jax.random.split(key, n)
+
+    def one(k, img, msk, jts, ctr, scl):
+        p = (
+            sample_params(k, aug)
+            if training
+            else {**identity_params()}
+        )
+        m = affine_matrix(ctr, scl, p, aug, box)
+        img_w = warp_image(img, m, box, float(model.pad_value))
+        msk_w = warp_image(msk[..., None], m, box, 1.0)[..., 0]
+        jts_w = transform_joints(jts, m, p["flip"], box)
+        # mask to label grid: stride-sized box average
+        lbl = msk_w.reshape(box // model.stride, model.stride,
+                            box // model.stride, model.stride).mean(axis=(1, 3))
+        return img_w, lbl, jts_w
+
+    return jax.vmap(one)(keys, images, masks, joints, centers, scales)

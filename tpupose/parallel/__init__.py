@@ -1,0 +1,7 @@
+from tpupose.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)

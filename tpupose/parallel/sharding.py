@@ -1,0 +1,56 @@
+"""Device mesh + sharding: the framework's single device-placement story.
+
+The reference is single-GPU with a ZeroMQ data plane (SURVEY.md sections
+2.2/2.3 — no DP/TP/PP anywhere). The TPU rebuild scales two ways, both
+expressed through one ``Mesh``:
+
+  * **data parallelism** (primary): batch sharded over the ``data`` axis,
+    params replicated; XLA inserts the gradient all-reduce (psum) over
+    ICI. The model is ~52 M params, activations dominate — DP is the
+    whole story for training (SURVEY.md 2.2).
+  * **scale parallelism** (inference): the multi-scale pyramid is
+    embarrassingly parallel; scales ride the same axis as batch entries.
+
+Multi-host reuses the identical program via ``jax.distributed`` — no
+backend-specific code (the NCCL-equivalent is implicit in XLA
+collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batched arrays."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict[str, Any], axis: str = "data") -> dict[str, Any]:
+    """device_put every leaf with its leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
