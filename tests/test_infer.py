@@ -66,7 +66,7 @@ def estimator_and_truth():
     est.model = FakeMapModel(heat, paf)
     est.params = {}
     est.pretrained = False
-    est._scale_fns = {}
+    est._fns = {}
     return est, joints
 
 

@@ -1,0 +1,258 @@
+"""Command-line entry points.
+
+Rebuilds the reference's script surface (SURVEY.md L4/L5):
+  demo-image   <- demo_image.py     single image -> JSON + overlay
+  demo-video   <- demo_camera.py    frame loop (video file / camera)
+  prepare      <- generate_masks.py + generate_hdf5.py   COCO -> packed h5
+  train        <- train_pose.py     COCO training
+  finetune     <- the fork's domain-adaptation harness (frozen VGG)
+  eval         OKS keypoint AP over a packed dataset
+  bench        the headline throughput benchmark
+
+Usage: python -m tpupose.cli <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--weights", default=None, help="Keras .h5 weights (optional)")
+    p.add_argument("--scales", default=None,
+                   help="comma-separated pyramid scales, e.g. 0.5,1,1.5,2")
+    p.add_argument("--boxsize", type=int, default=None,
+                   help="override canonical input size (default 368)")
+    p.add_argument("--stages", type=int, default=None,
+                   help="override number of refinement stages (default 6)")
+
+
+def _config(args) -> "PoseConfig":
+    import dataclasses
+
+    from tpupose.config import DEFAULT, with_scales
+
+    cfg = DEFAULT
+    if getattr(args, "scales", None):
+        cfg = with_scales(tuple(float(s) for s in args.scales.split(",")))
+    if getattr(args, "boxsize", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, boxsize=args.boxsize)
+        )
+    if getattr(args, "stages", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_stages=args.stages)
+        )
+    return cfg
+
+
+def cmd_demo_image(args) -> int:
+    import cv2
+    import numpy as np
+
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(_config(args), weights_path=args.weights)
+    if not est.pretrained:
+        print("warning: no pretrained weights loaded; output is untrained",
+              file=sys.stderr)
+    image = cv2.imread(args.image)
+    if image is None:
+        print(f"error: cannot read {args.image}", file=sys.stderr)
+        return 2
+    out = est.process(np.asarray(image), draw=True)
+    print(json.dumps(out["people"], indent=2))
+    if args.output:
+        cv2.imwrite(args.output, out["canvas"])
+        print(f"overlay written to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_demo_video(args) -> int:
+    import cv2
+    import numpy as np
+
+    from tpupose.config import single_scale
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(single_scale(_config(args)), weights_path=args.weights)
+    cap = cv2.VideoCapture(int(args.input) if args.input.isdigit() else args.input)
+    if not cap.isOpened():
+        print(f"error: cannot open {args.input}", file=sys.stderr)
+        return 2
+    writer = None
+    import time
+
+    n, t0 = 0, time.time()
+    while True:
+        ok, frame = cap.read()
+        if not ok or (args.max_frames and n >= args.max_frames):
+            break
+        out = est.process(np.asarray(frame), draw=True)
+        canvas = out["canvas"]
+        if args.output:
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    args.output, cv2.VideoWriter_fourcc(*"mp4v"),
+                    cap.get(cv2.CAP_PROP_FPS) or 25.0,
+                    (canvas.shape[1], canvas.shape[0]),
+                )
+            writer.write(canvas)
+        n += 1
+    if writer is not None:
+        writer.release()
+    cap.release()
+    dt = time.time() - t0
+    print(f"{n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)", file=sys.stderr)
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    from tpupose.data import coco_prep
+
+    n = coco_prep.pack(args.annotations, args.images, args.output)
+    print(f"packed {n} records -> {args.output}")
+    return 0
+
+
+def _run_training(args, frozen_vgg: bool) -> int:
+    import dataclasses
+
+    from tpupose.data import pipeline
+    from tpupose.models import OpenPose, weights as weights_lib
+    from tpupose.training import loop
+
+    cfg = _config(args)
+    train_cfg = cfg.train
+    if args.batch_size:
+        train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
+    if frozen_vgg:
+        train_cfg = train_cfg.frozen_vgg()
+    cfg = dataclasses.replace(cfg, train=train_cfg)
+
+    params = None
+    if args.weights:
+        import jax
+        import jax.numpy as jnp
+
+        model = OpenPose(
+            num_stages=cfg.model.num_stages,
+            dtype=jnp.dtype(cfg.model.compute_dtype),
+        )
+        dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+        params, loaded = weights_lib.maybe_load_pretrained(params, args.weights)
+        if not loaded:
+            print(f"warning: weights file {args.weights} not found", file=sys.stderr)
+
+    if args.dataset == "synthetic":
+        batches = pipeline.synthetic_batches(cfg, n_batches=args.max_steps or 10)
+    else:
+        batches = pipeline.hdf5_batches(args.dataset, cfg)
+
+    result = loop.train(
+        cfg, batches, params=params, workdir=args.workdir,
+        max_steps=args.max_steps,
+    )
+    print(
+        json.dumps(
+            {
+                "steps": result["steps"],
+                "steps_per_sec": round(result["steps_per_sec"], 3),
+                "last_losses": {k: round(v, 4) for k, v in result["last_losses"].items()},
+            }
+        )
+    )
+    return 0
+
+
+def cmd_train(args) -> int:
+    return _run_training(args, frozen_vgg=False)
+
+
+def cmd_finetune(args) -> int:
+    return _run_training(args, frozen_vgg=True)
+
+
+def cmd_eval(args) -> int:
+    import numpy as np
+
+    from tpupose.data import coco_eval, hdf5 as hdf5_io
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(_config(args), weights_path=args.weights)
+    preds, gts = [], []
+    for i, rec in enumerate(hdf5_io.read_samples(args.dataset)):
+        if args.max_images and i >= args.max_images:
+            break
+        out = est.process(rec["image"])
+        preds.append(out["people"])
+        gts.append(
+            [
+                {"keypoints": j, "area": float((j[:, 2] < 2).sum()) * 400.0}
+                for j in rec["joints"]
+                if (j[:, 2] < 2).any()
+            ]
+        )
+    res = coco_eval.evaluate(preds, gts)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench.py
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="tpupose", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("demo-image", help="single-image inference")
+    p.add_argument("--image", required=True)
+    p.add_argument("--output", default=None, help="overlay image path")
+    _add_common_model_args(p)
+    p.set_defaults(fn=cmd_demo_image)
+
+    p = sub.add_parser("demo-video", help="video/camera realtime loop")
+    p.add_argument("--input", required=True, help="video path or camera index")
+    p.add_argument("--output", default=None, help="output video path")
+    p.add_argument("--max-frames", type=int, default=0)
+    _add_common_model_args(p)
+    p.set_defaults(fn=cmd_demo_video)
+
+    p = sub.add_parser("prepare", help="COCO annotations -> packed HDF5")
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_prepare)
+
+    for name, fn in (("train", cmd_train), ("finetune", cmd_finetune)):
+        p = sub.add_parser(name, help=f"{name} (finetune = frozen VGG)")
+        p.add_argument("--dataset", required=True,
+                       help="packed HDF5 path, or 'synthetic'")
+        p.add_argument("--workdir", default=f"runs/{name}")
+        p.add_argument("--max-steps", type=int, default=None)
+        p.add_argument("--batch-size", type=int, default=None)
+        _add_common_model_args(p)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("eval", help="OKS keypoint AP over a packed dataset")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--max-images", type=int, default=0)
+    _add_common_model_args(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ class ModelConfig:
     stride: int = 8             # output stride -> 46x46 maps at 368 input
     pad_value: int = 128        # gray padding for right/down pad
     input_channels: int = 3
+    num_stages: int = 6         # CPM/PAF refinement stages
     # "bgr" matches the reference's cv2-fed weights; use "rgb" for new models.
     channel_order: str = "bgr"
     # Compute dtype for conv stack; params stay float32.

@@ -1,0 +1,1 @@
+from tpupose.data import coco_eval, coco_prep, hdf5, pipeline, rle  # noqa: F401

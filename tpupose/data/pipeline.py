@@ -1,0 +1,142 @@
+"""Host data pipeline: packed HDF5 / synthetic -> prefetched device batches.
+
+Replaces the reference's ZeroMQ data server + Keras generator pair
+(SURVEY.md C14/C15). The reference moved augmentation + rasterisation to
+a second process and streamed pickled samples over TCP; here those run
+on-device inside the train step (tpupose.gt), so the host pipeline only
+reads, pads to static shapes, batches, and prefetches — a python thread
+is ample for that.
+
+Batch contract (what make_train_step consumes):
+  images (N, H, W, 3) f32, masks (N, H, W) f32, joints (N, P, 18, 3) f32,
+  centers (N, 2) f32, scales (N,) f32.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from tpupose import topology
+from tpupose.config import PoseConfig
+from tpupose.data import hdf5 as hdf5_io
+
+
+def batch_samples(
+    samples: Iterable[dict],
+    batch_size: int,
+    target_h: int,
+    target_w: int,
+    max_persons: int,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Pad each sample to static shape and stack into batches."""
+    buf: list[dict] = []
+    for s in samples:
+        buf.append(hdf5_io.pad_sample(s, target_h, target_w, max_persons))
+        if len(buf) == batch_size:
+            yield _stack(buf)
+            buf = []
+    if buf and not drop_remainder:
+        while len(buf) < batch_size:  # repeat-pad the tail batch
+            buf.append(buf[-1])
+        yield _stack(buf)
+
+
+def _stack(buf: list[dict]) -> dict[str, np.ndarray]:
+    return {
+        "images": np.stack([b["image"] for b in buf]).astype(np.float32),
+        "masks": np.stack([b["mask"] for b in buf]),
+        "joints": np.stack([b["joints"] for b in buf]),
+        "centers": np.stack([b["center"] for b in buf]),
+        "scales": np.stack([b["scale_provided"] for b in buf]),
+    }
+
+
+def prefetch(
+    it: Iterable, depth: int = 2
+) -> Iterator:
+    """Thread-backed prefetch so host IO overlaps device steps."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def hdf5_batches(
+    path: str,
+    cfg: PoseConfig,
+    target_h: int = 368,
+    target_w: int = 368,
+    epochs: int | None = None,
+    shuffle_seed: int | None = 0,
+    prefetch_depth: int = 2,
+) -> Iterator[dict[str, np.ndarray]]:
+    """The standard training feed: packed HDF5 -> padded, prefetched batches."""
+
+    def epochs_iter():
+        counter = itertools.count() if epochs is None else range(epochs)
+        for e in counter:
+            seed = None if shuffle_seed is None else shuffle_seed + e
+            yield from hdf5_io.read_samples(path, shuffle_seed=seed)
+
+    batches = batch_samples(
+        epochs_iter(),
+        cfg.train.batch_size,
+        target_h,
+        target_w,
+        cfg.augment.max_persons,
+    )
+    return prefetch(batches, prefetch_depth)
+
+
+def synthetic_batches(
+    cfg: PoseConfig,
+    target_h: int = 368,
+    target_w: int = 368,
+    seed: int = 0,
+    n_batches: int | None = None,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Deterministic synthetic feed for smoke tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    n = cfg.train.batch_size
+    p = cfg.augment.max_persons
+    count = itertools.count() if n_batches is None else range(n_batches)
+    for _ in count:
+        joints = np.full((n, p, 18, 3), 2.0, np.float32)
+        joints[:, 0, :, 0] = rng.uniform(20, target_w - 20, (n, 18))
+        joints[:, 0, :, 1] = rng.uniform(20, target_h - 20, (n, 18))
+        joints[:, 0, :, 2] = 0.0
+        yield {
+            "images": rng.uniform(0, 255, (n, target_h, target_w, 3)).astype(
+                np.float32
+            ),
+            "masks": np.ones((n, target_h, target_w), np.float32),
+            "joints": joints,
+            "centers": np.tile(
+                np.asarray([[target_w / 2, target_h / 2]], np.float32), (n, 1)
+            ),
+            "scales": np.full((n,), 0.8, np.float32),
+        }

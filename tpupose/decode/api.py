@@ -20,18 +20,27 @@ from tpupose.decode import paf as _paf
 from tpupose.decode import peaks as _peaks
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def decode_maps(
+def decode_impl(
     heatmap: jnp.ndarray, paf: jnp.ndarray, cfg: InferenceConfig
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 19) heatmap + (H, W, 38) PAF -> fixed-size people tables.
 
+    Pure (un-jitted) implementation — compose under jit/vmap freely.
     Output dict: rows/score/cnt/valid people tables plus the peak tables
     (peak_xs/peak_ys/peak_scores) needed to resolve global peak ids.
     """
-    peaks = _peaks.find_peaks(
-        heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
-    )
+    from tpupose.ops import use_pallas
+
+    if use_pallas():
+        from tpupose.ops.pallas_peaks import find_peaks_pallas
+
+        peaks = find_peaks_pallas(
+            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
+        )
+    else:
+        peaks = _peaks.find_peaks(
+            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
+        )
     conns = _paf.score_limbs(
         paf,
         peaks,
@@ -52,6 +61,17 @@ def decode_maps(
         "peak_ys": peaks["ys"],
         "peak_scores": peaks["scores"],
     }
+
+
+decode_maps = jax.jit(decode_impl, static_argnames=("cfg",))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_maps_batch(
+    heatmaps: jnp.ndarray, pafs: jnp.ndarray, cfg: InferenceConfig
+) -> dict[str, jnp.ndarray]:
+    """Batched decode: (N, H, W, 19) + (N, H, W, 38) -> batched tables."""
+    return jax.vmap(lambda h, p: decode_impl(h, p, cfg))(heatmaps, pafs)
 
 
 def to_people(result: dict[str, np.ndarray]) -> list[dict]:

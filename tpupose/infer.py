@@ -3,16 +3,24 @@
 The reference's product path (``demo_image.py::process``, SURVEY.md
 section 3.1; BASELINE.json configs 1-3): multi-scale resize/pad pyramid
 -> CNN forward -> bilinear-upsampled heatmap/PAF averaging -> fused
-decode. Here each pyramid scale is one jitted device program (resize,
-pad, CNN, upsample and scale-averaging all stay on device); the decode
-runs as the jitted fixed-capacity pipeline in ``tpupose.decode``. Host
-work is reduced to JSON extraction and optional drawing.
+decode. TPU-native design decisions:
+
+  * Each pyramid scale is one jitted device program; the decode is the
+    jitted fixed-capacity pipeline in ``tpupose.decode``; averaging
+    stays on device.
+  * Images cross the host->device boundary as uint8 (the normalisation
+    runs on device) and only the compact people tables come back —
+    transfers are the bottleneck when the chip sits behind a network
+    (and always cost HBM bandwidth).
+  * ``process_batch`` fuses normalise -> forward -> upsample -> decode
+    for a whole batch into ONE program, and ``stream`` overlaps
+    transfers with compute via async dispatch for sustained throughput.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +28,8 @@ import numpy as np
 
 from tpupose import topology
 from tpupose.config import DEFAULT, PoseConfig
-from tpupose.decode import decode_maps, to_people
+from tpupose.decode import to_people
+from tpupose.decode.api import decode_impl
 from tpupose.models import OpenPose, weights as weights_lib
 from tpupose.ops import image as image_ops
 
@@ -36,7 +45,9 @@ class PoseEstimator:
         seed: int = 0,
     ):
         self.cfg = cfg
-        self.model = OpenPose(dtype=jnp.dtype(cfg.model.compute_dtype))
+        self.model = OpenPose(
+            num_stages=cfg.model.num_stages, dtype=jnp.dtype(cfg.model.compute_dtype)
+        )
         if params is None:
             dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
@@ -46,19 +57,20 @@ class PoseEstimator:
         else:
             self.pretrained = True
         self.params = params
-        self._scale_fns: dict[tuple, Any] = {}
+        self._fns: dict[tuple, Any] = {}
 
-    # --- per-scale jitted program -------------------------------------------
+    # --- jitted programs (cached per input geometry) --------------------------
 
-    def _scale_fn(self, in_h: int, in_w: int, rh: int, rw: int):
-        key = (in_h, in_w, rh, rw)
-        if key not in self._scale_fns:
+    def _maps_fn(self, in_h: int, in_w: int, rh: int, rw: int):
+        """One pyramid scale: uint8 image -> (heat, paf) at input res."""
+        key = ("maps", in_h, in_w, rh, rw)
+        if key not in self._fns:
             model = self.model
             stride = self.cfg.model.stride
 
             @jax.jit
-            def run(params, img):
-                x = image_ops.normalize(img)
+            def run(params, img_u8):
+                x = image_ops.normalize(img_u8)
                 x = image_ops.resize_bilinear(x, rh, rw)
                 x, _ = image_ops.pad_right_down(x, stride, image_ops.PAD_NORM)
                 paf, heat = model.apply({"params": params}, x[None])[-1]
@@ -66,8 +78,67 @@ class PoseEstimator:
                 paf = image_ops.upsample_to(paf, rh, rw, in_h, in_w)
                 return heat, paf
 
-            self._scale_fns[key] = run
-        return self._scale_fns[key]
+            self._fns[key] = run
+        return self._fns[key]
+
+    def _single_fn(self, in_h: int, in_w: int):
+        """Fused multi-scale maps + decode: uint8 image -> people tables.
+
+        One device program per input geometry; one transfer each way.
+        """
+        key = ("single", in_h, in_w)
+        if key not in self._fns:
+            model = self.model
+            mcfg = self.cfg.model
+            icfg = self.cfg.inference
+            sizes = image_ops.pyramid_sizes(icfg, mcfg, in_h, in_w)
+
+            @jax.jit
+            def run(params, img_u8):
+                x0 = image_ops.normalize(img_u8)
+                heat_avg = jnp.zeros((in_h, in_w, topology.NUM_HEAT_CHANNELS))
+                paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
+                n = float(len(sizes))
+                for rh, rw, _, _ in sizes:
+                    x = image_ops.resize_bilinear(x0, rh, rw)
+                    x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
+                    paf, heat = model.apply({"params": params}, x[None])[-1]
+                    heat_avg = heat_avg + image_ops.upsample_to(heat, rh, rw, in_h, in_w) / n
+                    paf_avg = paf_avg + image_ops.upsample_to(paf, rh, rw, in_h, in_w) / n
+                return decode_impl(heat_avg, paf_avg, icfg)
+
+            self._fns[key] = run
+        return self._fns[key]
+
+    def _batch_fn(self, n: int, in_h: int, in_w: int):
+        """Fused single-scale batch: (N, H, W, 3) uint8 -> batched tables."""
+        key = ("batch", n, in_h, in_w)
+        if key not in self._fns:
+            model = self.model
+            mcfg = self.cfg.model
+            icfg = self.cfg.inference
+            (rh, rw, _, _) = image_ops.pyramid_sizes(icfg, mcfg, in_h, in_w)[
+                icfg.scale_search.index(1.0) if 1.0 in icfg.scale_search else 0
+            ]
+
+            @jax.jit
+            def run(params, imgs_u8):
+                x = image_ops.normalize(imgs_u8)
+                x = image_ops.resize_bilinear(x, rh, rw)
+                x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
+                paf, heat = model.apply({"params": params}, x)[-1]
+                heat = jax.vmap(
+                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w)
+                )(heat)
+                paf = jax.vmap(
+                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w)
+                )(paf)
+                return jax.vmap(lambda h, p: decode_impl(h, p, icfg))(heat, paf)
+
+            self._fns[key] = run
+        return self._fns[key]
+
+    # --- public API ------------------------------------------------------------
 
     def maps(self, image: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Multi-scale averaged (heatmap, paf) at the input resolution.
@@ -77,21 +148,25 @@ class PoseEstimator:
         """
         h, w = image.shape[:2]
         sizes = image_ops.pyramid_sizes(self.cfg.inference, self.cfg.model, h, w)
-        img_dev = jnp.asarray(image, jnp.float32)
+        img_dev = jnp.asarray(np.asarray(image, np.uint8))
         heat_avg = None
         paf_avg = None
         n = float(len(sizes))
         for rh, rw, _, _ in sizes:
-            heat, paf = self._scale_fn(h, w, rh, rw)(self.params, img_dev)
+            heat, paf = self._maps_fn(h, w, rh, rw)(self.params, img_dev)
             heat_avg = heat / n if heat_avg is None else heat_avg + heat / n
             paf_avg = paf / n if paf_avg is None else paf_avg + paf / n
         return heat_avg, paf_avg
 
+    def process_async(self, image: np.ndarray):
+        """Dispatch one image; returns the on-device tables (no sync)."""
+        h, w = image.shape[:2]
+        img_dev = jnp.asarray(np.asarray(image, np.uint8))
+        return self._single_fn(h, w)(self.params, img_dev)
+
     def process(self, image: np.ndarray, draw: bool = False) -> dict:
         """Reference output contract: people JSON (+ optional overlay)."""
-        heat, paf = self.maps(image)
-        tables = decode_maps(heat, paf, self.cfg.inference)
-        tables = jax.device_get(tables)
+        tables = jax.device_get(self.process_async(image))
         people = to_people(tables)
         out = {"people": people}
         if draw:
@@ -99,3 +174,34 @@ class PoseEstimator:
 
             out["canvas"] = draw_people(np.asarray(image, np.uint8), people)
         return out
+
+    def process_batch(self, images: np.ndarray) -> list[list[dict]]:
+        """Single-scale batched path: (N, H, W, 3) -> people per image."""
+        n, h, w = images.shape[:3]
+        tables = jax.device_get(
+            self._batch_fn(n, h, w)(self.params, jnp.asarray(images))
+        )
+        return [
+            to_people(jax.tree.map(lambda x: x[i], tables)) for i in range(n)
+        ]
+
+    def stream(
+        self, batches: Iterable[np.ndarray], depth: int = 2
+    ) -> Iterator[list[list[dict]]]:
+        """Pipelined batched inference: keeps ``depth`` batches in flight
+        so host<->device transfers overlap with compute."""
+        pending: list[Any] = []
+        for images in batches:
+            n, h, w = images.shape[:3]
+            pending.append(
+                (n, self._batch_fn(n, h, w)(self.params, jnp.asarray(images)))
+            )
+            if len(pending) > depth:
+                yield self._finish(*pending.pop(0))
+        while pending:
+            yield self._finish(*pending.pop(0))
+
+    @staticmethod
+    def _finish(n: int, tables) -> list[list[dict]]:
+        tables = jax.device_get(tables)
+        return [to_people(jax.tree.map(lambda x: x[i], tables)) for i in range(n)]

@@ -1,0 +1,122 @@
+"""Training-loop driver: steps, LR schedule, checkpoints, CSV/TB logging.
+
+The orchestration layer the reference puts in ``train_pose.py``'s
+module body (SURVEY.md C17): restore-latest, iterate generator batches,
+log per-head losses, checkpoint periodically. Works identically for
+from-scratch COCO training and frozen-VGG domain adaptation
+(BASELINE.json config 5) — the optimizer encodes the difference.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from tpupose.config import PoseConfig
+from tpupose.models import OpenPose
+from tpupose.parallel import make_mesh, replicate_tree, shard_batch
+from tpupose.training import checkpoint as ckpt_lib
+from tpupose.training import create_state, make_train_step
+
+
+class CSVLogger:
+    """Per-step loss CSV (shape-parity with the reference's CSVLogger)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._path = path
+        self._file = None
+        self._writer = None
+
+    def log(self, step: int, losses: dict[str, float]) -> None:
+        if self._writer is None:
+            self._file = open(self._path, "a", newline="")
+            self._writer = csv.DictWriter(
+                self._file, fieldnames=["step", *sorted(losses)]
+            )
+            if self._file.tell() == 0:
+                self._writer.writeheader()
+        self._writer.writerow({"step": step, **{k: f"{v:.6g}" for k, v in losses.items()}})
+        self._file.flush()
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()
+
+
+def train(
+    cfg: PoseConfig,
+    batches: Iterable[dict[str, np.ndarray]],
+    params: Any | None = None,
+    workdir: str = "runs/train",
+    max_steps: int | None = None,
+    seed: int = 0,
+    use_mesh: bool = True,
+    on_step: Callable[[int, dict[str, float]], None] | None = None,
+) -> dict[str, Any]:
+    """Run the training loop; returns the final state tree."""
+    import jax.numpy as jnp
+
+    model = OpenPose(
+        num_stages=cfg.model.num_stages, dtype=jnp.dtype(cfg.model.compute_dtype)
+    )
+    if params is None:
+        dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+    state, tx = create_state(cfg, params)
+    tree = state.tree()
+
+    ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir)
+    restored = ckpt_lib.restore(ckpt_dir, jax.device_get(tree))
+    if restored is not None:
+        tree = restored
+
+    mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        tree = replicate_tree(mesh, tree)
+
+    step_fn = make_train_step(cfg, model, tx)
+    logger = CSVLogger(os.path.join(workdir, "training.csv"))
+    key = jax.random.PRNGKey(seed + 1)
+
+    limit = max_steps if max_steps is not None else cfg.train.max_steps
+    start = int(np.asarray(jax.device_get(tree["step"])))
+    t0 = time.time()
+    last_losses: dict[str, float] = {}
+
+    for batch in batches:
+        step_idx = int(np.asarray(jax.device_get(tree["step"])))
+        if step_idx >= limit:
+            break
+        key, sub = jax.random.split(key)
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        tree, losses = step_fn(tree, sub, batch)
+
+        step_idx += 1
+        if step_idx % cfg.train.log_every == 0 or step_idx == start + 1:
+            last_losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+            logger.log(step_idx, last_losses)
+            if on_step is not None:
+                on_step(step_idx, last_losses)
+        if step_idx % cfg.train.checkpoint_every == 0:
+            ckpt_lib.save(ckpt_dir, jax.device_get(tree))
+
+    final = jax.device_get(tree)
+    ckpt_lib.save(ckpt_dir, final)
+    logger.close()
+    elapsed = time.time() - t0
+    steps_done = int(final["step"]) - start
+    return {
+        "state": final,
+        "steps": steps_done,
+        "seconds": elapsed,
+        "steps_per_sec": steps_done / elapsed if elapsed > 0 else 0.0,
+        "last_losses": last_losses,
+    }

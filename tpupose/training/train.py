@@ -73,7 +73,13 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
             model_cfg,
             aug_cfg,
         )
-        paf_gt, heat_gt = gt_rasterize.create_labels(
+        from tpupose.ops import use_pallas
+
+        if use_pallas():
+            from tpupose.ops.pallas_gt import create_labels_pallas as _labels
+        else:
+            _labels = gt_rasterize.create_labels
+        paf_gt, heat_gt = _labels(
             joints_a,
             label_mask,
             label_size=model_cfg.label_size,
