@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize force-overrides jax_platforms at interpreter
+# start; importing tpupose re-asserts the env var (see tpupose/__init__).
+import jax  # noqa: E402
+
+import tpupose  # noqa: E402, F401
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

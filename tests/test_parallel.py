@@ -1,0 +1,105 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY.md 4d):
+data-parallel training step and scale-sharded pyramid inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpupose import topology
+from tpupose.config import (
+    AugmentConfig,
+    InferenceConfig,
+    ModelConfig,
+    PoseConfig,
+    TrainConfig,
+    with_scales,
+)
+from tpupose.models import OpenPose
+from tpupose.parallel import make_mesh, replicate_tree, shard_batch
+from tpupose.parallel.pyramid import scale_mesh, sharded_process
+from tpupose.training import create_state, make_train_step
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    """The sharded step must compute the same losses as unsharded."""
+    cfg = PoseConfig(
+        model=ModelConfig(boxsize=64, compute_dtype="float32"),
+        augment=AugmentConfig(max_persons=2),
+        train=TrainConfig(batch_size=8),
+    )
+    model = OpenPose(num_stages=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    state, tx = create_state(cfg, params)
+    step = make_train_step(cfg, model, tx)
+
+    n, h, w, p = 8, 96, 96, 2
+    joints = np.full((n, p, 18, 3), 2.0, np.float32)
+    joints[:, 0, :, 0] = rng.uniform(10, w - 10, (n, 18))
+    joints[:, 0, :, 1] = rng.uniform(10, h - 10, (n, 18))
+    joints[:, 0, :, 2] = 0.0
+    batch = {
+        "images": rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32),
+        "masks": np.ones((n, h, w), np.float32),
+        "joints": joints,
+        "centers": np.tile(np.asarray([[48.0, 48.0]], np.float32), (n, 1)),
+        "scales": np.full((n,), 0.8, np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    tree_a, losses_a = step(state.tree(), key, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_mesh()
+    tree = replicate_tree(mesh, state.tree())
+    sharded = shard_batch(mesh, batch)
+    tree_b, losses_b = step(tree, key, sharded)
+
+    np.testing.assert_allclose(
+        float(losses_a["total"]), float(losses_b["total"]), rtol=1e-4
+    )
+    la = jax.tree_util.tree_leaves(tree_a["params"])
+    lb = jax.tree_util.tree_leaves(tree_b["params"])
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scale_mesh_sizing():
+    # 8 devices: 4 scales -> mesh 4; 3 scales -> 3; 5 -> 5; 1 -> 1
+    assert scale_mesh(4).devices.size == 4
+    assert scale_mesh(3).devices.size == 3
+    assert scale_mesh(1).devices.size == 1
+
+
+def test_sharded_pyramid_device_count_invariance(rng):
+    """The scale-sharded pyramid program must give identical results on a
+    1-device and a multi-device mesh (XLA SPMD correctness) — the
+    multi-chip analogue of the reference's serial pyramid."""
+    from tpupose.parallel.pyramid import build_sharded_pyramid_fn
+
+    cfg = PoseConfig(
+        model=ModelConfig(boxsize=64, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5, 1.0), max_peaks=16,
+                                  max_people=16),
+    )
+    model = OpenPose(num_stages=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    image = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+
+    tables = {}
+    for n_dev in (1, 2):
+        mesh = make_mesh(n_dev)
+        fn = build_sharded_pyramid_fn(model, cfg, mesh, 64, 64)
+        tables[n_dev] = jax.device_get(fn(params, jnp.asarray(image)))
+
+    for k in tables[1]:
+        np.testing.assert_allclose(
+            tables[1][k], tables[2][k], atol=1e-4, err_msg=k
+        )

@@ -10,4 +10,18 @@ for the performance targets.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some environments ship a sitecustomize that registers an accelerator
+    # plugin and force-overrides jax_platforms at interpreter start,
+    # silently ignoring the JAX_PLATFORMS env var. Re-assert the user's
+    # explicit choice (works as long as no backend has been initialised).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - config name drift
+        pass
+
 from tpupose import config, topology  # noqa: F401

@@ -1,0 +1,109 @@
+"""Scale-sharded multi-scale inference (SURVEY.md sections 2.2 / 5.7).
+
+The reference's multi-scale pyramid runs its 4 scales serially through
+one GPU (SURVEY.md 3.1 hot loop 1). The scales are embarrassingly
+parallel, so on a TPU slice they become the framework's "context
+parallelism" analogue: every scale's image is padded to the largest
+scale's geometry, the batch of scales is sharded over the ``data`` mesh
+axis, one forward runs on all chips simultaneously, and the averaged
+maps are produced by the XLA-inserted collective when the (replicated)
+mean is taken.
+
+Padding note: stride-multiple padding with the gray value is exactly the
+reference's padRightDownCorner semantics, so running scale s inside a
+larger canvas changes nothing — the network is fully convolutional and
+the pad region is cropped before upsampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpupose import topology
+from tpupose.config import PoseConfig
+from tpupose.decode.api import decode_impl
+from tpupose.ops import image as image_ops
+
+
+def build_sharded_pyramid_fn(
+    model: Any, cfg: PoseConfig, mesh: Mesh, in_h: int, in_w: int
+):
+    """Returns fn(params, img_u8) -> people tables, with the pyramid's
+    scales sharded across the mesh's 'data' axis."""
+    mcfg = cfg.model
+    icfg = cfg.inference
+    sizes = image_ops.pyramid_sizes(icfg, mcfg, in_h, in_w)
+    n_scales = len(sizes)
+    max_ph = max(s[2] for s in sizes)
+    max_pw = max(s[3] for s in sizes)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=repl_sh)
+    def run(params, img_u8):
+        x0 = image_ops.normalize(img_u8)
+        # build the scale batch on one canvas (gray outside each scale)
+        canvases = []
+        for rh, rw, _, _ in sizes:
+            x = image_ops.resize_bilinear(x0, rh, rw)
+            pad = [(0, max_ph - rh), (0, max_pw - rw), (0, 0)]
+            canvases.append(jnp.pad(x, pad, constant_values=image_ops.PAD_NORM))
+        batch = jnp.stack(canvases)                          # (S, maxH, maxW, 3)
+        batch = jax.lax.with_sharding_constraint(batch, batch_sh)
+
+        pafs, heats = model.apply({"params": params}, batch)[-1]
+
+        heat_avg = jnp.zeros((in_h, in_w, topology.NUM_HEAT_CHANNELS))
+        paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
+        for i, (rh, rw, _, _) in enumerate(sizes):
+            heat_avg = heat_avg + image_ops.upsample_to(
+                heats[i : i + 1], rh, rw, in_h, in_w
+            ) / n_scales
+            paf_avg = paf_avg + image_ops.upsample_to(
+                pafs[i : i + 1], rh, rw, in_h, in_w
+            ) / n_scales
+        return decode_impl(heat_avg, paf_avg, icfg)
+
+    return run
+
+
+def scale_mesh(n_scales: int) -> Mesh:
+    """Largest mesh whose size divides the scale count (so the scale
+    batch shards evenly)."""
+    from tpupose.parallel.sharding import make_mesh
+
+    n_dev = len(jax.devices())
+    size = 1
+    for d in range(1, min(n_scales, n_dev) + 1):
+        if n_scales % d == 0:
+            size = d
+    return make_mesh(size)
+
+
+def sharded_process(
+    estimator,
+    image: np.ndarray,
+    mesh: Mesh | None = None,
+) -> dict:
+    """Multi-scale ``process`` with scales spread over the mesh devices."""
+    from tpupose.decode import to_people
+
+    mesh = mesh or scale_mesh(len(estimator.cfg.inference.scale_search))
+    h, w = image.shape[:2]
+    key = ("sharded", h, w, id(mesh))
+    if key not in estimator._fns:
+        estimator._fns[key] = build_sharded_pyramid_fn(
+            estimator.model, estimator.cfg, mesh, h, w
+        )
+    with mesh:
+        tables = jax.device_get(
+            estimator._fns[key](estimator.params, jnp.asarray(image, jnp.uint8))
+        )
+    return {"people": to_people(tables)}
