@@ -22,6 +22,11 @@ import tpupose  # noqa: E402, F401
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# NaN sanitiser (SURVEY.md 5.2): TPUPOSE_DEBUG_NANS=1 makes every test
+# fail loudly at the op that produced a NaN.
+if os.environ.get("TPUPOSE_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -54,10 +54,15 @@ def test_data_parallel_step_matches_single_device(rng):
     }
     key = jax.random.PRNGKey(3)
 
-    tree_a, losses_a = step(state.tree(), key, {k: jnp.asarray(v) for k, v in batch.items()})
+    # the step donates its input state; give each run a private copy
+    tree_a, losses_a = step(
+        jax.tree.map(jnp.copy, state.tree()),
+        key,
+        {k: jnp.asarray(v) for k, v in batch.items()},
+    )
 
     mesh = make_mesh()
-    tree = replicate_tree(mesh, state.tree())
+    tree = replicate_tree(mesh, jax.tree.map(jnp.copy, state.tree()))
     sharded = shard_batch(mesh, batch)
     tree_b, losses_b = step(tree, key, sharded)
 

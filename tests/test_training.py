@@ -99,7 +99,9 @@ def test_lr_schedule():
 
 def test_train_step_decreases_loss(setup):
     model, params = setup
-    state, tx = create_state(SMALL, params)
+    # the jitted step donates its input state; give it a private copy so
+    # the module-scoped fixture params stay alive for other tests
+    state, tx = create_state(SMALL, jax.tree.map(jnp.copy, params))
     step = make_train_step(SMALL, model, tx)
     batch = {k: jnp.asarray(v) for k, v in small_batch(np.random.default_rng(2)).items()}
 
@@ -119,7 +121,7 @@ def test_train_step_decreases_loss(setup):
 def test_frozen_vgg_is_bit_frozen(setup):
     model, params = setup
     cfg = dataclasses.replace(SMALL, train=SMALL.train.frozen_vgg())
-    state, tx = create_state(cfg, params)
+    state, tx = create_state(cfg, jax.tree.map(jnp.copy, params))
     step = make_train_step(cfg, model, tx)
     batch = {k: jnp.asarray(v) for k, v in small_batch(np.random.default_rng(3)).items()}
 

@@ -201,6 +201,33 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_convert_weights(args) -> int:
+    """Keras .h5 (reference lineage) -> native Orbax params checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models import OpenPose, weights as weights_lib
+    from tpupose.training import checkpoint as ckpt_lib
+
+    cfg = _config(args)
+    model = OpenPose(
+        num_stages=cfg.model.num_stages, dtype=jnp.dtype(cfg.model.compute_dtype)
+    )
+    dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+    params, missing = weights_lib.load_keras_h5(args.weights, params)
+    if missing:
+        print(f"warning: {len(missing)} layers missing from h5: {missing[:3]}...",
+              file=sys.stderr)
+    tree = {"params": jax.device_get(params), "opt_state": {}, "step": 0}
+    import numpy as np
+
+    tree["step"] = np.int32(0)
+    ckpt_lib.save(args.output, tree)
+    print(f"converted {args.weights} -> {args.output}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root bench.py
 
@@ -246,6 +273,15 @@ def main(argv=None) -> int:
     p.add_argument("--max-images", type=int, default=0)
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("convert-weights",
+                       help="Keras .h5 -> native Orbax checkpoint")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--scales", default=None)
+    p.add_argument("--boxsize", type=int, default=None)
+    p.add_argument("--stages", type=int, default=None)
+    p.set_defaults(fn=cmd_convert_weights)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

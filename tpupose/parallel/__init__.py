@@ -5,3 +5,4 @@ from tpupose.parallel.sharding import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from tpupose.parallel.sharding import data_mesh_for_batch  # noqa: F401

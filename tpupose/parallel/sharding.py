@@ -54,3 +54,18 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def data_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
+    """Largest mesh whose size divides the batch (so batches shard evenly).
+
+    With batch 2 on 8 devices this yields a 2-device mesh rather than a
+    divisibility error; production configs should keep batch % devices == 0
+    to use the full slice.
+    """
+    n_dev = len(jax.devices())
+    size = 1
+    for d in range(1, min(batch_size, n_dev) + 1):
+        if batch_size % d == 0:
+            size = d
+    return make_mesh(size, axis)

@@ -19,7 +19,8 @@ import numpy as np
 
 from tpupose.config import PoseConfig
 from tpupose.models import OpenPose
-from tpupose.parallel import make_mesh, replicate_tree, shard_batch
+from tpupose.parallel import replicate_tree, shard_batch
+from tpupose.parallel.sharding import data_mesh_for_batch
 from tpupose.training import checkpoint as ckpt_lib
 from tpupose.training import create_state, make_train_step
 
@@ -47,6 +48,28 @@ class CSVLogger:
     def close(self) -> None:
         if self._file:
             self._file.close()
+
+
+class TBLogger:
+    """TensorBoard scalars via clu metric_writers (reference artifact
+    parity with its TensorBoard callback); no-op if clu is unavailable."""
+
+    def __init__(self, logdir: str):
+        try:
+            from clu import metric_writers
+
+            self._writer = metric_writers.SummaryWriter(logdir)
+        except Exception:
+            self._writer = None
+
+    def log(self, step: int, losses: dict[str, float]) -> None:
+        if self._writer is not None:
+            self._writer.write_scalars(step, {f"loss/{k}": v for k, v in losses.items()})
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()
 
 
 def train(
@@ -77,12 +100,13 @@ def train(
     if restored is not None:
         tree = restored
 
-    mesh = make_mesh() if use_mesh else None
+    mesh = data_mesh_for_batch(cfg.train.batch_size) if use_mesh else None
     if mesh is not None:
         tree = replicate_tree(mesh, tree)
 
     step_fn = make_train_step(cfg, model, tx)
     logger = CSVLogger(os.path.join(workdir, "training.csv"))
+    tb = TBLogger(os.path.join(workdir, "tb"))
     key = jax.random.PRNGKey(seed + 1)
 
     limit = max_steps if max_steps is not None else cfg.train.max_steps
@@ -103,6 +127,7 @@ def train(
         if step_idx % cfg.train.log_every == 0 or step_idx == start + 1:
             last_losses = {k: float(v) for k, v in jax.device_get(losses).items()}
             logger.log(step_idx, last_losses)
+            tb.log(step_idx, last_losses)
             if on_step is not None:
                 on_step(step_idx, last_losses)
         if step_idx % cfg.train.checkpoint_every == 0:
@@ -111,6 +136,7 @@ def train(
     final = jax.device_get(tree)
     ckpt_lib.save(ckpt_dir, final)
     logger.close()
+    tb.close()
     elapsed = time.time() - t0
     steps_done = int(final["step"]) - start
     return {

@@ -60,7 +60,7 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
         losses = loss_lib.stagewise_losses(outputs, paf_gt, heat_gt, label_mask)
         return losses["total"], losses
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state_tree, key, batch):
         params = state_tree["params"]
         images_a, label_mask, joints_a = gt_augment.augment_batch(
@@ -113,7 +113,7 @@ def make_preprocessed_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientT
         )
         return losses["total"], losses
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state_tree, batch):
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state_tree["params"], batch
