@@ -53,6 +53,9 @@ class InferenceConfig:
     # SURVEY.md section 7 "hard parts"). COCO maxima comfortably fit these.
     max_peaks: int = 96         # per part channel
     max_people: int = 96        # subset rows
+    # Greedy acceptance packs valid connections into the leading slots, so
+    # capping the per-limb table only matters beyond this many people.
+    max_connections: int = 48   # per limb, bounds the assembly scan
 
     @property
     def num_scales(self) -> int:

@@ -48,6 +48,8 @@ def decode_impl(
         thre2=cfg.thre2,
         min_ratio=cfg.connect_min_ratio,
     )
+    if cfg.max_connections < cfg.max_peaks:
+        conns = {k: v[:, : cfg.max_connections] for k, v in conns.items()}
     people = _assemble.assemble(
         peaks,
         conns,

@@ -40,11 +40,12 @@ def assemble(
     """
     part_pairs, _ = topology.decode_limb_tables()
     part_pairs = jnp.asarray(part_pairs)          # (19, 2)
-    k = peaks["xs"].shape[1]
+    k = peaks["xs"].shape[1]                      # pid stride (peak slots)
+    c = connections["a_slot"].shape[1]            # connections per limb
     n_limbs = topology.NUM_LIMBS
 
     # Flatten (limb, conn) -> scan stream, limb-major (decode order).
-    limb_idx = jnp.repeat(jnp.arange(n_limbs), k)                 # (19K,)
+    limb_idx = jnp.repeat(jnp.arange(n_limbs), c)                 # (19C,)
     a_part = part_pairs[limb_idx, 0]
     b_part = part_pairs[limb_idx, 1]
     a_slot = connections["a_slot"].reshape(-1)
