@@ -49,9 +49,26 @@ def test_pad_sample_static_shapes(rng):
     assert out["image"].shape == (368, 368, 3)
     assert out["mask"].shape == (368, 368)
     assert out["joints"].shape == (4, 18, 3)
-    # joints beyond the 368-high crop become absent
-    tall = s["joints"][:4, :, 1] >= 368
-    assert (out["joints"][:, :, 2][tall] == 2.0).all()
+    # oversized image is downscaled to fit, geometry rescaled consistently
+    f = 368 / 500
+    np.testing.assert_allclose(out["center"], s["center"] * f, rtol=1e-6)
+    assert out["scale_provided"] == pytest.approx(0.7 * f)
+    vis = out["joints"][:, :, 2] < 2
+    np.testing.assert_allclose(
+        out["joints"][:, :, 1][vis], (s["joints"][:4, :, 1] * f)[vis], atol=1e-4
+    )
+    # no joints were lost to cropping: all originally-present joints remain
+    assert vis.sum() == (s["joints"][:4, :, 2] < 2).sum()
+
+
+def test_pad_sample_small_image_letterboxed(rng):
+    s = make_sample(rng, h=100, w=120, n_persons=1)
+    out = hdf5_io.pad_sample(s, 368, 368, max_persons=2)
+    # no scaling for smaller-than-target images
+    np.testing.assert_allclose(out["center"], s["center"])
+    np.testing.assert_array_equal(out["image"][:100, :120], s["image"])
+    assert (out["image"][100:] == 128).all()
+    assert (out["mask"][100:] == 0).all()
 
 
 def test_batching_and_prefetch(tmp_path, rng):

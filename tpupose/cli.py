@@ -82,16 +82,51 @@ def cmd_demo_video(args) -> int:
     if not cap.isOpened():
         print(f"error: cannot open {args.input}", file=sys.stderr)
         return 2
-    writer = None
+    import collections
     import time
 
+    from tpupose.utils.drawing import draw_people
+
+    def frames():
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (args.max_frames and n >= args.max_frames):
+                return
+            yield np.asarray(frame, np.uint8)
+            n += 1
+
+    # pipelined: keep several frames in flight so transfers overlap compute
+    pending: collections.deque = collections.deque()
+    writer = None
     n, t0 = 0, time.time()
-    while True:
-        ok, frame = cap.read()
-        if not ok or (args.max_frames and n >= args.max_frames):
-            break
-        out = est.process(np.asarray(frame), draw=True)
-        canvas = out["canvas"]
+    for frame in frames():
+        pending.append((frame, est.process_async(frame)))
+        while len(pending) > 3:
+            frame0, tables = pending.popleft()
+            import jax
+
+            from tpupose.decode import to_people
+
+            people = to_people(jax.device_get(tables))
+            canvas = draw_people(frame0, people)
+            if args.output:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        args.output, cv2.VideoWriter_fourcc(*"mp4v"),
+                        cap.get(cv2.CAP_PROP_FPS) or 25.0,
+                        (canvas.shape[1], canvas.shape[0]),
+                    )
+                writer.write(canvas)
+            n += 1
+    while pending:
+        import jax
+
+        from tpupose.decode import to_people
+
+        frame0, tables = pending.popleft()
+        people = to_people(jax.device_get(tables))
+        canvas = draw_people(frame0, people)
         if args.output:
             if writer is None:
                 writer = cv2.VideoWriter(

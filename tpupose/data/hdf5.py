@@ -92,29 +92,50 @@ def read_samples(path: str, shuffle_seed: int | None = None) -> Iterator[dict]:
 def pad_sample(
     sample: dict, target_h: int, target_w: int, max_persons: int
 ) -> dict:
-    """Fixed-shape sample: letterbox image/mask to (target_h, target_w)
-    top-left anchored, pad persons to max_persons with absent rows.
+    """Fixed-shape sample for the jit-static on-device augmentation.
 
-    Geometry is preserved (no scaling) so joints/centres stay valid; the
-    on-device augmentation crop handles the rest.
+    Images larger than the target are downscaled to fit (aspect
+    preserved) with joints / centre / scale_provided rescaled by the
+    same factor, so no content is lost; smaller images are letterboxed
+    top-left with gray. Persons are padded to ``max_persons`` with
+    absent rows. The reference warps directly from the variable-size
+    original (SURVEY.md C11); this is the static-shape equivalent — the
+    augmentation's scale term absorbs the fit factor exactly because
+    scale_provided is rescaled with the pixels.
     """
     img = sample["image"]
-    msk = sample["mask"]
+    msk = np.asarray(sample["mask"], np.float32)
+    if msk.max() > 1.0:
+        msk = msk / 255.0
     h, w = img.shape[:2]
-    ch, cw = min(h, target_h), min(w, target_w)
+
+    f = min(target_h / h, target_w / w, 1.0)
+    joints_src = np.asarray(sample["joints"], np.float32).copy()
+    center = np.asarray(sample["center"], np.float32).copy()
+    scale_provided = float(sample["scale_provided"])
+    if f < 1.0:
+        import cv2
+
+        nh, nw = max(int(round(h * f)), 1), max(int(round(w * f)), 1)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        msk = cv2.resize(msk, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if joints_src.size:
+            joints_src[:, :, :2] *= f
+        center *= f
+        scale_provided *= f
+        h, w = nh, nw
 
     out_img = np.full((target_h, target_w, 3), 128, np.uint8)
-    out_img[:ch, :cw] = img[:ch, :cw]
+    out_img[:h, :w] = img
     out_msk = np.zeros((target_h, target_w), np.float32)
-    out_msk[:ch, :cw] = np.asarray(msk[:ch, :cw], np.float32) / 255.0
+    out_msk[:h, :w] = msk
 
     joints = np.full((max_persons, topology.NUM_PARTS, 3), 2.0, np.float32)
-    src = sample["joints"][:max_persons]
+    src = joints_src[:max_persons]
     joints[: src.shape[0]] = src
-    # joints cropped away by the letterbox become absent
     off = (
-        (joints[:, :, 0] < 0) | (joints[:, :, 0] >= cw)
-        | (joints[:, :, 1] < 0) | (joints[:, :, 1] >= ch)
+        (joints[:, :, 0] < 0) | (joints[:, :, 0] >= w)
+        | (joints[:, :, 1] < 0) | (joints[:, :, 1] >= h)
     )
     joints[:, :, 2] = np.where(off, 2.0, joints[:, :, 2])
 
@@ -122,6 +143,6 @@ def pad_sample(
         "image": out_img,
         "mask": out_msk,
         "joints": joints,
-        "center": np.asarray(sample["center"], np.float32),
-        "scale_provided": np.float32(sample["scale_provided"]),
+        "center": center,
+        "scale_provided": np.float32(scale_provided),
     }
