@@ -21,6 +21,13 @@ import time
 
 import numpy as np
 
+# The fused Pallas decode kernels are parity-tested in interpreter mode but
+# not yet validated on the remote-compile TPU platform; keep the benchmark
+# on the XLA decode path until a TPU run of tests/test_pallas_kernels.py has
+# been recorded (flip by exporting TPUPOSE_ENABLE_PALLAS=1).
+if not os.environ.get("TPUPOSE_ENABLE_PALLAS"):
+    os.environ.setdefault("TPUPOSE_DISABLE_PALLAS", "1")
+
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 BASELINE_CACHE = os.path.join(ROOT, "bench_baseline.json")
