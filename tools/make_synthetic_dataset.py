@@ -1,0 +1,106 @@
+"""Generate a synthetic "new-domain" packed dataset of rendered figures.
+
+Lets the whole domain-adaptation story (prepare -> finetune -> eval) run
+end-to-end without COCO: humanoid stick figures with known joints are
+rendered onto textured backgrounds and packed into the framework's HDF5
+format. The rendering style (thick anti-aliased limbs on noise) is the
+"new domain".
+
+Run: python tools/make_synthetic_dataset.py --output synth.h5 --count 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpupose import topology  # noqa: E402
+from tpupose.data import hdf5 as hdf5_io  # noqa: E402
+
+
+REL = {
+    "nose": (0.0, -0.95), "neck": (0.0, -0.65),
+    "Rsho": (-0.30, -0.65), "Relb": (-0.42, -0.30), "Rwri": (-0.45, 0.05),
+    "Lsho": (0.30, -0.65), "Lelb": (0.42, -0.30), "Lwri": (0.45, 0.05),
+    "Rhip": (-0.18, 0.10), "Rkne": (-0.20, 0.55), "Rank": (-0.20, 0.95),
+    "Lhip": (0.18, 0.10), "Lkne": (0.20, 0.55), "Lank": (0.20, 0.95),
+    "Reye": (-0.08, -1.02), "Leye": (0.08, -1.02),
+    "Rear": (-0.17, -0.98), "Lear": (0.17, -0.98),
+}
+
+
+def make_person(rng, w, h):
+    # person height scales with the canvas so small canvases stay valid
+    hi = min(150.0, 0.8 * min(w, h))
+    size = rng.uniform(min(70.0, hi * 0.6), hi)
+    cx = rng.uniform(size * 0.5, max(w - size * 0.5, size * 0.5 + 1))
+    cy = rng.uniform(size * 0.55, max(h - size * 0.55, size * 0.55 + 1))
+    jitter = rng.normal(0, 0.02, (18, 2))
+    joints = np.zeros((18, 3))
+    for name, (dx, dy) in REL.items():
+        i = topology.PART_INDEX[name]
+        joints[i, 0] = cx + (dx + jitter[i, 0]) * size
+        joints[i, 1] = cy + (dy + jitter[i, 1]) * size * 0.5
+        joints[i, 2] = 0.0
+    return joints, size
+
+
+def render(rng, joints_list, w, h):
+    import cv2
+
+    img = (rng.uniform(0, 60, (h, w, 3)) + rng.normal(0, 8, (h, w, 3))).clip(0, 255)
+    img = img.astype(np.uint8)
+    for joints in joints_list:
+        color = tuple(int(c) for c in rng.integers(120, 255, 3))
+        for pa, pb in topology.LIMBS:
+            a = tuple(np.round(joints[pa, :2]).astype(int))
+            b = tuple(np.round(joints[pb, :2]).astype(int))
+            cv2.line(img, a, b, color, thickness=5, lineType=cv2.LINE_AA)
+        for p in range(18):
+            cv2.circle(
+                img,
+                tuple(np.round(joints[p, :2]).astype(int)),
+                4,
+                (255, 255, 255),
+                -1,
+                lineType=cv2.LINE_AA,
+            )
+    return img
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--count", type=int, default=64)
+    ap.add_argument("--size", type=int, default=368)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-persons", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    w = h = args.size
+    n_written = 0
+    with hdf5_io.SampleWriter(args.output) as writer:
+        for _ in range(args.count):
+            n_persons = int(rng.integers(1, args.max_persons + 1))
+            people = [make_person(rng, w, h) for _ in range(n_persons)]
+            joints = np.stack([p[0] for p in people])
+            img = render(rng, joints, w, h)
+            mask = np.full((h, w), 255, np.uint8)
+            # one record per person (reference selection: main person)
+            for pj, size in people:
+                present = pj[:, 2] < 2
+                cx, cy = pj[present, 0].mean(), pj[present, 1].mean()
+                writer.add(img, mask, joints, (cx, cy), size / 368.0)
+                n_written += 1
+    print(f"wrote {n_written} records -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
