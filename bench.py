@@ -125,7 +125,18 @@ BATCH = 8
 N_BATCHES = 24
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     from tpupose.config import single_scale
     from tpupose.infer import PoseEstimator
 

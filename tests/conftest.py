@@ -27,6 +27,11 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 if os.environ.get("TPUPOSE_DEBUG_NANS"):
     jax.config.update("jax_debug_nans", True)
 
+# Persistent compilation cache: the suite is compile-bound; repeated runs
+# hit the cache instead of re-lowering the 52M-param model.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
