@@ -85,6 +85,9 @@ def cmd_demo_video(args) -> int:
     import collections
     import time
 
+    import jax
+
+    from tpupose.decode import to_people
     from tpupose.utils.drawing import draw_people
 
     def frames():
@@ -96,37 +99,13 @@ def cmd_demo_video(args) -> int:
             yield np.asarray(frame, np.uint8)
             n += 1
 
-    # pipelined: keep several frames in flight so transfers overlap compute
-    pending: collections.deque = collections.deque()
     writer = None
-    n, t0 = 0, time.time()
-    for frame in frames():
-        pending.append((frame, est.process_async(frame)))
-        while len(pending) > 3:
-            frame0, tables = pending.popleft()
-            import jax
+    n = 0
 
-            from tpupose.decode import to_people
-
-            people = to_people(jax.device_get(tables))
-            canvas = draw_people(frame0, people)
-            if args.output:
-                if writer is None:
-                    writer = cv2.VideoWriter(
-                        args.output, cv2.VideoWriter_fourcc(*"mp4v"),
-                        cap.get(cv2.CAP_PROP_FPS) or 25.0,
-                        (canvas.shape[1], canvas.shape[0]),
-                    )
-                writer.write(canvas)
-            n += 1
-    while pending:
-        import jax
-
-        from tpupose.decode import to_people
-
+    def drain_one(pending):
+        nonlocal writer, n
         frame0, tables = pending.popleft()
-        people = to_people(jax.device_get(tables))
-        canvas = draw_people(frame0, people)
+        canvas = draw_people(frame0, to_people(jax.device_get(tables)))
         if args.output:
             if writer is None:
                 writer = cv2.VideoWriter(
@@ -136,6 +115,16 @@ def cmd_demo_video(args) -> int:
                 )
             writer.write(canvas)
         n += 1
+
+    # pipelined: keep several frames in flight so transfers overlap compute
+    pending: collections.deque = collections.deque()
+    t0 = time.time()
+    for frame in frames():
+        pending.append((frame, est.process_async(frame)))
+        while len(pending) > 3:
+            drain_one(pending)
+    while pending:
+        drain_one(pending)
     if writer is not None:
         writer.release()
     cap.release()
@@ -264,9 +253,9 @@ def cmd_convert_weights(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root bench.py
+    from tpupose import benchmark
 
-    bench.main()
+    benchmark.main()
     return 0
 
 

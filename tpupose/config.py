@@ -54,8 +54,10 @@ class InferenceConfig:
     max_peaks: int = 96         # per part channel
     max_people: int = 96        # subset rows
     # Greedy acceptance packs valid connections into the leading slots, so
-    # capping the per-limb table only matters beyond this many people.
-    max_connections: int = 48   # per limb, bounds the assembly scan
+    # capping the per-limb table truncates only beyond this many people.
+    # Default equals max_peaks (no truncation within capacity); deployments
+    # may lower it to shorten the sequential assembly scan.
+    max_connections: int = 96   # per limb, bounds the assembly scan
 
     @property
     def num_scales(self) -> int:

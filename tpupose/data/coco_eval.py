@@ -66,8 +66,9 @@ def evaluate(
     """AP over OKS thresholds.
 
     predictions[i]: people JSON for image i.
-    gts[i]: list of {"keypoints": (18, 3) array-like, "area": float} for
-    image i.
+    gts[i]: list of {"keypoints": (18, 3) internal-order or (17, 3)
+    COCO-order array-like, "area": float} for image i. 17-keypoint GT is
+    converted (neck synthesised from the shoulders).
     Returns {"AP": mean AP, "AP50": ..., "AP75": ...}.
     """
     n_thr = len(OKS_THRESHOLDS)
@@ -75,8 +76,18 @@ def evaluate(
     det_tp_all: list[np.ndarray] = []  # (n_thr,) bool per detection
     total_gt = 0
 
+    def _to_internal(kp) -> np.ndarray:
+        kp = np.asarray(kp, np.float64)
+        if kp.shape[0] == topology.NUM_PARTS:
+            return kp
+        if kp.shape[0] == 17:  # COCO order with COCO visibility codes
+            from tpupose.data.coco_prep import coco_joints_to_parts
+
+            return coco_joints_to_parts(kp.reshape(-1).tolist())
+        raise ValueError(f"GT keypoints must be (17|18, 3), got {kp.shape}")
+
     for preds, gt_list in zip(predictions, gts):
-        gt_kps = [np.asarray(g["keypoints"], np.float64) for g in gt_list]
+        gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
         gt_area = [float(g.get("area", 1.0)) for g in gt_list]
         total_gt += len(gt_list)
 

@@ -74,8 +74,8 @@ class PoseEstimator:
                 x = image_ops.resize_bilinear(x, rh, rw)
                 x, _ = image_ops.pad_right_down(x, stride, image_ops.PAD_NORM)
                 paf, heat = model.apply({"params": params}, x[None])[-1]
-                heat = image_ops.upsample_to(heat, rh, rw, in_h, in_w)
-                paf = image_ops.upsample_to(paf, rh, rw, in_h, in_w)
+                heat = image_ops.upsample_to(heat, rh, rw, in_h, in_w, stride)
+                paf = image_ops.upsample_to(paf, rh, rw, in_h, in_w, stride)
                 return heat, paf
 
             self._fns[key] = run
@@ -103,8 +103,10 @@ class PoseEstimator:
                     x = image_ops.resize_bilinear(x0, rh, rw)
                     x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
                     paf, heat = model.apply({"params": params}, x[None])[-1]
-                    heat_avg = heat_avg + image_ops.upsample_to(heat, rh, rw, in_h, in_w) / n
-                    paf_avg = paf_avg + image_ops.upsample_to(paf, rh, rw, in_h, in_w) / n
+                    heat_avg = heat_avg + image_ops.upsample_to(
+                        heat, rh, rw, in_h, in_w, mcfg.stride) / n
+                    paf_avg = paf_avg + image_ops.upsample_to(
+                        paf, rh, rw, in_h, in_w, mcfg.stride) / n
                 return decode_impl(heat_avg, paf_avg, icfg)
 
             self._fns[key] = run
@@ -128,10 +130,12 @@ class PoseEstimator:
                 x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
                 paf, heat = model.apply({"params": params}, x)[-1]
                 heat = jax.vmap(
-                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w)
+                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w,
+                                                    mcfg.stride)
                 )(heat)
                 paf = jax.vmap(
-                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w)
+                    lambda m: image_ops.upsample_to(m[None], rh, rw, in_h, in_w,
+                                                    mcfg.stride)
                 )(paf)
                 return jax.vmap(lambda h, p: decode_impl(h, p, icfg))(heat, paf)
 

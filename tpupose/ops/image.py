@@ -76,9 +76,10 @@ def preprocess_scale(
 
 
 def upsample_to(
-    maps: jnp.ndarray, rh: int, rw: int, out_h: int, out_w: int
+    maps: jnp.ndarray, rh: int, rw: int, out_h: int, out_w: int,
+    stride: int = 8,
 ) -> jnp.ndarray:
-    """Stride-8 network output -> original image size.
+    """Stride-N network output -> original image size.
 
     Mirrors the reference chain: upsample x stride (to the padded size),
     crop the pad back to (rh, rw), then resize to the original (out_h,
@@ -87,7 +88,7 @@ def upsample_to(
     ph = maps.shape[1]
     pw = maps.shape[2]
     # one fused bilinear to the padded full-res, then crop + final resize
-    full = resize_bilinear(maps, ph * 8, pw * 8)[0]
+    full = resize_bilinear(maps, ph * stride, pw * stride)[0]
     full = full[:rh, :rw, :]
     return resize_bilinear(full, out_h, out_w)
 

@@ -9,10 +9,14 @@ axis, one forward runs on all chips simultaneously, and the averaged
 maps are produced by the XLA-inserted collective when the (replicated)
 mean is taken.
 
-Padding note: stride-multiple padding with the gray value is exactly the
-reference's padRightDownCorner semantics, so running scale s inside a
-larger canvas changes nothing — the network is fully convolutional and
-the pad region is cropped before upsampling.
+Padding note: the input-level semantics match the reference's gray
+padRightDownCorner pad, but deep-layer activations over the gray canvas
+are nonzero (bias + ReLU), unlike the per-layer zero padding the
+standalone per-scale program sees at its borders. Outputs within a
+receptive field of the crop boundary therefore differ slightly from the
+serial pyramid; interior content is unaffected. The serial fused program
+(`PoseEstimator.process`) remains the parity-exact default; this mode
+trades edge-exactness for cross-chip scale parallelism.
 """
 
 from __future__ import annotations
@@ -64,10 +68,10 @@ def build_sharded_pyramid_fn(
         paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
         for i, (rh, rw, _, _) in enumerate(sizes):
             heat_avg = heat_avg + image_ops.upsample_to(
-                heats[i : i + 1], rh, rw, in_h, in_w
+                heats[i : i + 1], rh, rw, in_h, in_w, mcfg.stride
             ) / n_scales
             paf_avg = paf_avg + image_ops.upsample_to(
-                pafs[i : i + 1], rh, rw, in_h, in_w
+                pafs[i : i + 1], rh, rw, in_h, in_w, mcfg.stride
             ) / n_scales
         return decode_impl(heat_avg, paf_avg, icfg)
 
@@ -77,14 +81,9 @@ def build_sharded_pyramid_fn(
 def scale_mesh(n_scales: int) -> Mesh:
     """Largest mesh whose size divides the scale count (so the scale
     batch shards evenly)."""
-    from tpupose.parallel.sharding import make_mesh
+    from tpupose.parallel.sharding import data_mesh_for_batch
 
-    n_dev = len(jax.devices())
-    size = 1
-    for d in range(1, min(n_scales, n_dev) + 1):
-        if n_scales % d == 0:
-            size = d
-    return make_mesh(size)
+    return data_mesh_for_batch(n_scales)
 
 
 def sharded_process(
@@ -97,7 +96,10 @@ def sharded_process(
 
     mesh = mesh or scale_mesh(len(estimator.cfg.inference.scale_search))
     h, w = image.shape[:2]
-    key = ("sharded", h, w, id(mesh))
+    # key on the mesh's device layout, not object identity: identity keys
+    # miss the cache for every fresh default mesh and can alias after GC
+    devs = tuple(int(d.id) for d in mesh.devices.flat)
+    key = ("sharded", h, w, devs)
     if key not in estimator._fns:
         estimator._fns[key] = build_sharded_pyramid_fn(
             estimator.model, estimator.cfg, mesh, h, w

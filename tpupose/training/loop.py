@@ -112,7 +112,7 @@ def train(
     limit = max_steps if max_steps is not None else cfg.train.max_steps
     start = int(np.asarray(jax.device_get(tree["step"])))
     t0 = time.time()
-    last_losses: dict[str, float] = {}
+    losses = None  # device handle of the most recent step's losses
 
     for batch in batches:
         step_idx = int(np.asarray(jax.device_get(tree["step"])))
@@ -125,13 +125,20 @@ def train(
 
         step_idx += 1
         if step_idx % cfg.train.log_every == 0 or step_idx == start + 1:
-            last_losses = {k: float(v) for k, v in jax.device_get(losses).items()}
-            logger.log(step_idx, last_losses)
-            tb.log(step_idx, last_losses)
+            logged = {k: float(v) for k, v in jax.device_get(losses).items()}
+            logger.log(step_idx, logged)
+            tb.log(step_idx, logged)
             if on_step is not None:
-                on_step(step_idx, last_losses)
+                on_step(step_idx, logged)
         if step_idx % cfg.train.checkpoint_every == 0:
             ckpt_lib.save(ckpt_dir, jax.device_get(tree))
+
+    # the FINAL step's losses, whatever the logging cadence was
+    last_losses: dict[str, float] = (
+        {k: float(v) for k, v in jax.device_get(losses).items()}
+        if losses is not None
+        else {}
+    )
 
     final = jax.device_get(tree)
     ckpt_lib.save(ckpt_dir, final)
