@@ -81,6 +81,8 @@ def train(
     seed: int = 0,
     use_mesh: bool = True,
     on_step: Callable[[int, dict[str, float]], None] | None = None,
+    val_batches: Callable[[], Iterable[dict[str, np.ndarray]]] | None = None,
+    val_every: int | None = None,
 ) -> dict[str, Any]:
     """Run the training loop; returns the final state tree."""
     import jax.numpy as jnp
@@ -109,6 +111,31 @@ def train(
     tb = TBLogger(os.path.join(workdir, "tb"))
     key = jax.random.PRNGKey(seed + 1)
 
+    eval_fn = None
+    val_logger = None
+    if val_batches is not None:
+        from tpupose.training.train import make_eval_step
+
+        eval_fn = make_eval_step(cfg, model)
+        val_every = val_every or cfg.train.checkpoint_every
+        val_logger = CSVLogger(os.path.join(workdir, "validation.csv"))
+
+    def run_validation(step_idx: int) -> None:
+        if eval_fn is None:
+            return
+        totals: dict[str, float] = {}
+        count = 0
+        for vb in val_batches():
+            vb = shard_batch(mesh, vb) if mesh is not None else vb
+            vl = jax.device_get(eval_fn(tree["params"], vb))
+            for k, v in vl.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        if count:
+            means = {k: v / count for k, v in totals.items()}
+            val_logger.log(step_idx, means)
+            tb.log(step_idx, {f"val_{k}": v for k, v in means.items()})
+
     limit = max_steps if max_steps is not None else cfg.train.max_steps
     start = int(np.asarray(jax.device_get(tree["step"])))
     t0 = time.time()
@@ -132,6 +159,8 @@ def train(
                 on_step(step_idx, logged)
         if step_idx % cfg.train.checkpoint_every == 0:
             ckpt_lib.save(ckpt_dir, jax.device_get(tree))
+        if eval_fn is not None and step_idx % val_every == 0:
+            run_validation(step_idx)
 
     # the FINAL step's losses, whatever the logging cadence was
     last_losses: dict[str, float] = (
@@ -142,6 +171,9 @@ def train(
 
     final = jax.device_get(tree)
     ckpt_lib.save(ckpt_dir, final)
+    if eval_fn is not None:
+        run_validation(int(final["step"]))
+        val_logger.close()
     logger.close()
     tb.close()
     elapsed = time.time() - t0

@@ -102,6 +102,40 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
     return step
 
 
+def make_eval_step(cfg: PoseConfig, model: OpenPose):
+    """Forward-only loss on a raw batch with deterministic (identity)
+    augmentation — the reference's validation-generator path."""
+
+    model_cfg = cfg.model
+    aug_cfg = cfg.augment
+
+    @jax.jit
+    def step(params, batch):
+        images_a, label_mask, joints_a = gt_augment.augment_batch(
+            jax.random.PRNGKey(0),
+            batch["images"],
+            batch["masks"],
+            batch["joints"],
+            batch["centers"],
+            batch["scales"],
+            model_cfg,
+            aug_cfg,
+            training=False,
+        )
+        paf_gt, heat_gt = gt_rasterize.create_labels(
+            joints_a,
+            label_mask,
+            label_size=model_cfg.label_size,
+            stride=model_cfg.stride,
+            sigma=aug_cfg.sigma,
+            paf_thre=aug_cfg.paf_thre,
+        )
+        outputs = model.apply({"params": params}, image_ops.normalize(images_a))
+        return loss_lib.stagewise_losses(outputs, paf_gt, heat_gt, label_mask)
+
+    return step
+
+
 def make_preprocessed_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransformation):
     """Step for pre-rasterised batches (images_norm, paf_gt, heat_gt,
     label_mask) — the reference's generator-fed mode."""
