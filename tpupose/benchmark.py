@@ -21,12 +21,9 @@ import time
 
 import numpy as np
 
-# The fused Pallas decode kernels are parity-tested in interpreter mode but
-# not yet validated on the remote-compile TPU platform; keep the benchmark
-# on the XLA decode path until a TPU run of tests/test_pallas_kernels.py has
-# been recorded (flip by exporting TPUPOSE_ENABLE_PALLAS=1).
-if os.environ.get("TPUPOSE_ENABLE_PALLAS", "").lower() not in ("1", "true", "yes"):
-    os.environ.setdefault("TPUPOSE_DISABLE_PALLAS", "1")
+# The fused Pallas decode/GT kernels are parity-validated on the real TPU
+# (2026-08-16, see BASELINE.md); TPUPOSE_DISABLE_PALLAS=1 still forces the
+# XLA fallback for debugging.
 
 DEFAULT_BASELINE_CACHE = os.path.join(os.getcwd(), "bench_baseline.json")
 

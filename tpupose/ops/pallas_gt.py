@@ -2,10 +2,13 @@
 
 The jnp GT path (tpupose.gt.rasterize) materialises (P, 18, L, L) and
 (P, 19, L, L) intermediates in HBM before reducing over persons. This
-kernel rasterises one sample per grid program entirely in VMEM: the
-per-person gaussian and PAF-band partials never leave the chip core,
-and only the final (19 + 38)-channel labels are written back — the
-"batched on-device preprocessing" of BASELINE.json at full fusion.
+kernel rasterises with a (sample, person) grid: each program folds one
+person's gaussians and PAF bands into the sample's output block, which
+stays resident in VMEM across the person loop (the K-loop accumulation
+pattern) — per-person partials never reach HBM.
+
+Mosaic constraints honoured: per-person quantities are read as scalars
+(no sublane+lane broadcasts), iota is integer, only static slices.
 
 Semantics identical to the jnp path (and the NumPy twin): exp cutoff at
 ln(100), max-combine over persons, background complement, paf_thre band
@@ -31,70 +34,83 @@ def _gt_kernel(
     stride: int,
     sigma: float,
     paf_thre: float,
-    joints_ref,   # (P, 18, 3) f32 in VMEM
-    heat_ref,     # (19, L, L) f32 out
-    paf_ref,      # (38, L, L) f32 out
+    joints_ref,   # (18, 3) this person's joints, VMEM
+    heat_ref,     # (19, L, L) out block, revisited across persons
+    paf_ref,      # (38, L, L) out block, revisited across persons
+    fg_ref,       # (L, L) scratch: running max over parts/persons
+    count_ref,    # (19, L, L) scratch: PAF band counts
 ):
     l = label_size
     s = float(stride)
-    jx = joints_ref[:, :, 0]                       # (P, 18)
-    jy = joints_ref[:, :, 1]
-    present = joints_ref[:, :, 2] < 2.0
+    person = pl.program_id(1)
+    n_persons = pl.num_programs(1)
 
-    col = jax.lax.broadcasted_iota(jnp.float32, (l, l), 1)
-    row = jax.lax.broadcasted_iota(jnp.float32, (l, l), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0).astype(jnp.float32)
     gx = col * s + s / 2.0 - 0.5                   # image-space grid
     gy = row * s + s / 2.0 - 0.5
 
-    # --- heatmaps: per part, max over persons ------------------------------
-    denom = 2.0 * sigma * sigma
-    fg_max = jnp.zeros((l, l), jnp.float32)
-    for part in range(topology.NUM_PARTS):
-        x = jx[:, part][:, None, None]             # (P, 1, 1)
-        y = jy[:, part][:, None, None]
-        ok = present[:, part][:, None, None]
-        d2 = (gx[None] - x) ** 2 + (gy[None] - y) ** 2
-        expo = d2 / denom
-        val = jnp.where((expo <= _EXP_CUTOFF) & ok, jnp.exp(-expo), 0.0)
-        channel = jnp.clip(val.max(axis=0), 0.0, 1.0)
-        heat_ref[part, :, :] = channel
-        fg_max = jnp.maximum(fg_max, channel)
-    heat_ref[topology.NUM_PARTS, :, :] = 1.0 - fg_max
+    @pl.when(person == 0)
+    def _init():
+        heat_ref[:, :, :] = jnp.zeros((topology.NUM_HEAT_CHANNELS, l, l), jnp.float32)
+        paf_ref[:, :, :] = jnp.zeros((topology.NUM_PAF_CHANNELS, l, l), jnp.float32)
+        fg_ref[:, :] = jnp.zeros((l, l), jnp.float32)
+        count_ref[:, :, :] = jnp.zeros((topology.NUM_LIMBS, l, l), jnp.float32)
 
-    # --- PAFs: per limb, count-averaged band -------------------------------
-    colg = col                                      # label-grid coords
-    rowg = row
+    denom = 2.0 * sigma * sigma
+    # --- heatmaps: fold this person's gaussians (max-combine) ---------------
+    for part in range(topology.NUM_PARTS):
+        x = joints_ref[part, 0]
+        y = joints_ref[part, 1]
+        ok = (joints_ref[part, 2] < 2.0).astype(jnp.float32)
+        d2 = (gx - x) ** 2 + (gy - y) ** 2
+        expo = d2 / denom
+        val = jnp.where(expo <= _EXP_CUTOFF, jnp.exp(-expo), 0.0) * ok
+        channel = jnp.maximum(heat_ref[part, :, :], val)
+        heat_ref[part, :, :] = channel
+        fg_ref[:, :] = jnp.maximum(fg_ref[:, :], channel)
+
+    # --- PAFs: fold this person's limb bands --------------------------------
     thre = paf_thre / s
     for k, (pa, pb) in enumerate(topology.LIMBS):
-        ax = (jx[:, pa] + 0.5) / s - 0.5            # (P,)
-        ay = (jy[:, pa] + 0.5) / s - 0.5
-        bx = (jx[:, pb] + 0.5) / s - 0.5
-        by = (jy[:, pb] + 0.5) / s - 0.5
-        ok = present[:, pa] & present[:, pb]
-
+        ax = (joints_ref[pa, 0] + 0.5) / s - 0.5
+        ay = (joints_ref[pa, 1] + 0.5) / s - 0.5
+        bx = (joints_ref[pb, 0] + 0.5) / s - 0.5
+        by = (joints_ref[pb, 1] + 0.5) / s - 0.5
         dx = bx - ax
         dy = by - ay
         norm = jnp.sqrt(dx * dx + dy * dy)
-        okn = ok & (norm >= 1e-8)
+        ok = (
+            (joints_ref[pa, 2] < 2.0)
+            & (joints_ref[pb, 2] < 2.0)
+            & (norm >= 1e-8)
+        ).astype(jnp.float32)
         ns = jnp.maximum(norm, 1e-8)
-        ux = (dx / ns)[:, None, None]
-        uy = (dy / ns)[:, None, None]
+        ux = dx / ns
+        uy = dy / ns
 
-        px = colg[None] - ax[:, None, None]         # (P, L, L)
-        py = rowg[None] - ay[:, None, None]
+        px = col - ax
+        py = row - ay
         along = px * ux + py * uy
         perp = jnp.abs(px * uy - py * ux)
         band = (
-            (perp <= thre)
-            & (along >= 0.0)
-            & (along <= norm[:, None, None])
-            & okn[:, None, None]
-        ).astype(jnp.float32)
+            (perp <= thre).astype(jnp.float32)
+            * (along >= 0.0).astype(jnp.float32)
+            * (along <= norm).astype(jnp.float32)
+            * ok
+        )
+        paf_ref[2 * k, :, :] = paf_ref[2 * k, :, :] + band * ux
+        paf_ref[2 * k + 1, :, :] = paf_ref[2 * k + 1, :, :] + band * uy
+        count_ref[k, :, :] = count_ref[k, :, :] + band
 
-        cnt = band.sum(axis=0)
-        inv = 1.0 / jnp.maximum(cnt, 1.0)
-        paf_ref[2 * k, :, :] = (band * ux).sum(axis=0) * inv
-        paf_ref[2 * k + 1, :, :] = (band * uy).sum(axis=0) * inv
+    # --- finalise on the last person ----------------------------------------
+    @pl.when(person == n_persons - 1)
+    def _finish():
+        heat_ref[topology.NUM_PARTS, :, :] = 1.0 - fg_ref[:, :]
+        for k in range(topology.NUM_LIMBS):
+            inv = 1.0 / jnp.maximum(count_ref[k, :, :], 1.0)
+            paf_ref[2 * k, :, :] = paf_ref[2 * k, :, :] * inv
+            paf_ref[2 * k + 1, :, :] = paf_ref[2 * k + 1, :, :] * inv
 
 
 @functools.partial(
@@ -117,21 +133,25 @@ def create_labels_pallas(
 
     heat, paf = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, p),
         in_specs=[
-            pl.BlockSpec((None, p, topology.NUM_PARTS, 3), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, topology.NUM_PARTS, 3),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, topology.NUM_HEAT_CHANNELS, l, l),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, topology.NUM_PAF_CHANNELS, l, l),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, topology.NUM_HEAT_CHANNELS, l, l), jnp.float32),
             jax.ShapeDtypeStruct((n, topology.NUM_PAF_CHANNELS, l, l), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((l, l), jnp.float32),                     # fg max
+            pltpu.VMEM((topology.NUM_LIMBS, l, l), jnp.float32),  # counts
+        ],
         interpret=interpret,
     )(joints.astype(jnp.float32))
 

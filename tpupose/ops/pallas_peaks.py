@@ -32,24 +32,28 @@ from jax.experimental.pallas import tpu as pltpu
 from tpupose.decode.peaks import gaussian_kernel1d
 
 
-def _peaks_kernel(taps: np.ndarray, thre1: float, hm_ref, out_ref, smooth_ref):
-    h, w = hm_ref.shape
+def _peaks_kernel(taps: np.ndarray, thre1: float, hm_ref, out_ref, acc_ref, sm_ref):
+    # hm_ref holds the channel pre-padded with reflect borders (Mosaic has
+    # no `rev` lowering, so the reflect-pad happens outside the kernel);
+    # blur + NMS + threshold all fuse in this one VMEM residency.
+    # Static slices only (no lax.dynamic_slice lowering), and the tap loops
+    # accumulate IN PLACE into VMEM scratch so the 25-tap unroll keeps a
+    # 2-buffer live set instead of 25 temporaries (scoped-vmem OOM).
     r = (len(taps) - 1) // 2
-    x = hm_ref[:, :]
+    ph, pw = hm_ref.shape
+    h, w = ph - 2 * r, pw - 2 * r
 
-    # --- horizontal blur (reflect borders) --------------------------------
-    padded = jnp.pad(x, ((0, 0), (r, r)), mode="symmetric")  # (h, w + 2r)
-    acc = jnp.zeros((h, w), jnp.float32)
-    for k in range(len(taps)):
-        acc = acc + taps[k] * jax.lax.dynamic_slice(padded, (0, k), (h, w))
-    # --- vertical blur ------------------------------------------------------
-    padded = jnp.pad(acc, ((r, r), (0, 0)), mode="symmetric")
-    sm = jnp.zeros((h, w), jnp.float32)
-    for k in range(len(taps)):
-        sm = sm + taps[k] * jax.lax.dynamic_slice(padded, (k, 0), (h, w))
-    smooth_ref[:, :] = sm
+    # --- horizontal blur: (h+2r, w) keeping vertical pad rows --------------
+    acc_ref[:, :] = taps[0] * hm_ref[:, 0:w]
+    for k in range(1, len(taps)):
+        acc_ref[:, :] = acc_ref[:, :] + taps[k] * hm_ref[:, k : k + w]
+    # --- vertical blur -------------------------------------------------------
+    sm_ref[:, :] = taps[0] * acc_ref[0:h, :]
+    for k in range(1, len(taps)):
+        sm_ref[:, :] = sm_ref[:, :] + taps[k] * acc_ref[k : k + h, :]
 
     # --- NMS: >= all four zero-border shifted neighbours, > thre1 ----------
+    sm = sm_ref[:, :]
     z_row = jnp.zeros((1, w), jnp.float32)
     z_col = jnp.zeros((h, 1), jnp.float32)
     up = jnp.concatenate([z_row, sm[:-1, :]], axis=0)
@@ -59,6 +63,7 @@ def _peaks_kernel(taps: np.ndarray, thre1: float, hm_ref, out_ref, smooth_ref):
     is_peak = (
         (sm >= up) & (sm >= down) & (sm >= left) & (sm >= right) & (sm > thre1)
     )
+    x = hm_ref[r : r + h, r : r + w]  # original (unsmoothed) values
     out_ref[:, :] = jnp.where(is_peak, x, -jnp.inf)
 
 
@@ -73,27 +78,27 @@ def peak_scores_pallas(
 ) -> jnp.ndarray:
     """(H, W, C) -> (C, H, W) masked score maps (-inf off-peak)."""
     taps = tuple(float(t) for t in gaussian_kernel1d(sigma))
+    r = (len(taps) - 1) // 2
     h, w, c = heatmap.shape
     maps = jnp.moveaxis(heatmap, -1, 0).astype(jnp.float32)  # (C, H, W)
+    # reflect-pad outside the kernel (Mosaic cannot lower lax.rev)
+    maps = jnp.pad(maps, ((0, 0), (r, r), (r, r)), mode="symmetric")
 
     kernel = functools.partial(_peaks_kernel, np.asarray(taps, np.float32), thre1)
-    out, _ = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, h + 2 * r, w + 2 * r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((c, h, w), jnp.float32),  # smoothed (debug)
-        ),
+        out_specs=pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * r, w), jnp.float32),   # horizontal-blur acc
+            pltpu.VMEM((h, w), jnp.float32),            # smoothed map
+        ],
         interpret=interpret,
     )(maps)
     return out
