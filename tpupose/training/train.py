@@ -60,13 +60,19 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
         losses = loss_lib.stagewise_losses(outputs, paf_gt, heat_gt, label_mask)
         return losses["total"], losses
 
+    def _norm_masks(masks):
+        # host pipeline ships uint8 (0..255) to quarter the transfer size
+        if masks.dtype == jnp.uint8:
+            return masks.astype(jnp.float32) / 255.0
+        return masks
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state_tree, key, batch):
         params = state_tree["params"]
         images_a, label_mask, joints_a = gt_augment.augment_batch(
             key,
-            batch["images"],
-            batch["masks"],
+            batch["images"].astype(jnp.float32),
+            _norm_masks(batch["masks"]),
             batch["joints"],
             batch["centers"],
             batch["scales"],
@@ -109,12 +115,17 @@ def make_eval_step(cfg: PoseConfig, model: OpenPose):
     model_cfg = cfg.model
     aug_cfg = cfg.augment
 
+    def _norm_masks(masks):
+        if masks.dtype == jnp.uint8:
+            return masks.astype(jnp.float32) / 255.0
+        return masks
+
     @jax.jit
     def step(params, batch):
         images_a, label_mask, joints_a = gt_augment.augment_batch(
             jax.random.PRNGKey(0),
-            batch["images"],
-            batch["masks"],
+            batch["images"].astype(jnp.float32),
+            _norm_masks(batch["masks"]),
             batch["joints"],
             batch["centers"],
             batch["scales"],
