@@ -89,6 +89,9 @@ class TrainConfig:
     base_lr: float = 4e-5
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # global-norm gradient clipping; None reproduces the reference exactly
+    # (it has none), a finite value stabilises from-scratch training
+    clip_norm: float | None = None
     lr_gamma: float = 0.333
     lr_step: int = 136106       # iterations per LR step (reference stepsize)
     max_steps: int = 600000

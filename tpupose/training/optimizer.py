@@ -82,4 +82,7 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
         return optax.chain(*chain)
 
     transforms = {label: sgd_for(label) for label in mults}
-    return optax.multi_transform(transforms, param_labels(params))
+    tx = optax.multi_transform(transforms, param_labels(params))
+    if cfg.clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+    return tx
