@@ -33,14 +33,46 @@ def batch_samples(
     target_w: int,
     max_persons: int,
     drop_remainder: bool = True,
+    num_workers: int = 4,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Pad each sample to static shape and stack into batches."""
+    """Pad each sample to static shape and stack into batches.
+
+    Per-sample padding (cv2 resize + copies) runs on a thread pool —
+    cv2/numpy release the GIL, so prep overlaps across samples.
+    """
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pad(s):
+        return hdf5_io.pad_sample(s, target_h, target_w, max_persons)
+
+    # bounded futures window: Executor.map would consume an infinite
+    # sample iterator eagerly
+    window = max(num_workers, 1) * 2
     buf: list[dict] = []
-    for s in samples:
-        buf.append(hdf5_io.pad_sample(s, target_h, target_w, max_persons))
-        if len(buf) == batch_size:
-            yield _stack(buf)
-            buf = []
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        futures: collections.deque = collections.deque()
+        it = iter(samples)
+
+        def drain_one():
+            nonlocal buf
+            buf.append(futures.popleft().result())
+            if len(buf) == batch_size:
+                out = _stack(buf)
+                buf = []
+                return out
+            return None
+
+        for s in it:
+            futures.append(pool.submit(pad, s))
+            if len(futures) >= window:
+                out = drain_one()
+                if out is not None:
+                    yield out
+        while futures:
+            out = drain_one()
+            if out is not None:
+                yield out
     if buf and not drop_remainder:
         while len(buf) < batch_size:  # repeat-pad the tail batch
             buf.append(buf[-1])
