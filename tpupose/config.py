@@ -92,6 +92,9 @@ class TrainConfig:
     # global-norm gradient clipping; None reproduces the reference exactly
     # (it has none), a finite value stabilises from-scratch training
     clip_norm: float | None = None
+    # gradient accumulation: effective batch = batch_size * accum_steps
+    # (optax.MultiSteps; 1 = off, the reference has no equivalent)
+    accum_steps: int = 1
     lr_gamma: float = 0.333
     lr_step: int = 136106       # iterations per LR step (reference stepsize)
     max_steps: int = 600000

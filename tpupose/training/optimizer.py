@@ -85,4 +85,6 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
     tx = optax.multi_transform(transforms, param_labels(params))
     if cfg.clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
