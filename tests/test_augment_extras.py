@@ -24,12 +24,7 @@ def test_mask_grid_sampling_matches_fullres_pointsample(rng):
         A.sample_mask_at_label_grid(jnp.asarray(msk), m, model.label_size,
                                     model.stride)
     )
-    full = np.asarray(A.warp_image(jnp.asarray(msk)[..., None], m,
-                                   model.boxsize, 1.0))[..., 0]
     s = model.stride
-    centres = full[s // 2 :: s, s // 2 :: s]  # pixel (4,12,20,...) = centre-0.5
-    # grid centre x = stride*i + stride/2 - 0.5 lies between pixels 3 and 4;
-    # compare against the bilinear sample computed the same way instead:
     idx = np.arange(model.label_size) * s + s / 2 - 0.5
     inv = np.linalg.inv(np.vstack([np.asarray(m), [0, 0, 1]]))[:2]
     xs, ys = np.meshgrid(idx, idx)

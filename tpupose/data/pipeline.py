@@ -8,15 +8,18 @@ reads, pads to static shapes, batches, and prefetches — a python thread
 is ample for that.
 
 Batch contract (what make_train_step consumes):
-  images (N, H, W, 3) f32, masks (N, H, W) f32, joints (N, P, 18, 3) f32,
-  centers (N, 2) f32, scales (N,) f32.
+  images (N, H, W, 3) uint8, masks (N, H, W) uint8 (0..255),
+  joints (N, P, 18, 3) f32, centers (N, 2) f32, scales (N,) f32
+  (the step casts/normalises on device; f32 batches are also accepted).
 """
 
 from __future__ import annotations
 
+import collections
 import itertools
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator
 
 import numpy as np
@@ -40,9 +43,6 @@ def batch_samples(
     Per-sample padding (cv2 resize + copies) runs on a thread pool —
     cv2/numpy release the GIL, so prep overlaps across samples.
     """
-    import collections
-    from concurrent.futures import ThreadPoolExecutor
-
     def pad(s):
         return hdf5_io.pad_sample(s, target_h, target_w, max_persons)
 
@@ -128,8 +128,12 @@ def hdf5_batches(
     epochs: int | None = None,
     shuffle_seed: int | None = 0,
     prefetch_depth: int = 2,
+    num_workers: int = 4,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """The standard training feed: packed HDF5 -> padded, prefetched batches."""
+    """The standard training feed: packed HDF5 -> padded, prefetched batches.
+
+    ``num_workers`` sizes the sample-prep thread pool (1 = serial, for
+    deterministic debugging)."""
 
     def epochs_iter():
         counter = itertools.count() if epochs is None else range(epochs)
@@ -143,6 +147,7 @@ def hdf5_batches(
         target_h,
         target_w,
         cfg.augment.max_persons,
+        num_workers=num_workers,
     )
     return prefetch(batches, prefetch_depth)
 

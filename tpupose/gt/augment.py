@@ -142,35 +142,21 @@ def sample_mask_at_label_grid(
     centres — 64x fewer gathers than warping at full resolution and then
     pooling, and closer to the reference's cv2.resize-to-46x46 semantics.
     Outside-source points read 1.0 (keep loss, reference border).
+
+    Implemented by composing the affine with the label->image grid map
+    (q -> stride*q + stride/2 - 0.5) and reusing warp_image.
     """
-    inv = _invert_affine(affine)
-    idx = jnp.arange(label_size, dtype=jnp.float32) * stride + stride / 2.0 - 0.5
-    xs = jnp.broadcast_to(idx[None, :], (label_size, label_size))
-    ys = jnp.broadcast_to(idx[:, None], (label_size, label_size))
-    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
-    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
-
-    h, w = msk.shape[0], msk.shape[1]
-    x0 = jnp.floor(src_x)
-    y0 = jnp.floor(src_y)
-    fx = src_x - x0
-    fy = src_y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def gather(yy, xx):
-        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
-        yc = jnp.clip(yy, 0, h - 1)
-        xc = jnp.clip(xx, 0, w - 1)
-        return jnp.where(inside, msk[yc, xc].astype(jnp.float32), 1.0)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    off = stride / 2.0 - 0.5
+    m2 = jnp.stack(
+        [
+            jnp.asarray(
+                [affine[i, 0] / stride, affine[i, 1] / stride,
+                 (affine[i, 2] - off) / stride]
+            )
+            for i in (0, 1)
+        ]
+    )
+    return warp_image(msk[..., None], m2, label_size, 1.0)[..., 0]
 
 
 def transform_joints(
@@ -212,9 +198,9 @@ def augment_batch(
     """One fused augmentation program for the whole batch.
 
     Returns (aug_images (N, box, box, 3), label_masks (N, L, L),
-    aug_joints (N, P, 18, 3)). The mask is warped at full resolution,
-    then box-averaged down to the label grid (reference: mask warped
-    with the image, consumed at stride 8).
+    aug_joints (N, P, 18, 3)). The mask is bilinearly sampled directly at
+    the inverse-mapped label-grid centres (sample_mask_at_label_grid) —
+    the reference warps it with the image and resizes to the label grid.
     """
     n = images.shape[0]
     box = model.boxsize
