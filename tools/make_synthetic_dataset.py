@@ -50,23 +50,46 @@ def make_person(rng, w, h):
     return joints, size
 
 
-def render(rng, joints_list, w, h):
+def render(rng, joints_list, w, h, style="dark"):
+    """Render a scene. Styles are distinct "domains":
+
+    dark  — bright figures on dark noise (domain A)
+    light — dark thin figures on bright textured background with
+            distractor blobs (domain B, the adaptation target)
+    """
     import cv2
 
-    img = (rng.uniform(0, 60, (h, w, 3)) + rng.normal(0, 8, (h, w, 3))).clip(0, 255)
-    img = img.astype(np.uint8)
+    if style == "dark":
+        img = (rng.uniform(0, 60, (h, w, 3)) + rng.normal(0, 8, (h, w, 3))).clip(0, 255)
+        img = img.astype(np.uint8)
+        line_color = lambda: tuple(int(c) for c in rng.integers(120, 255, 3))
+        dot_color = (255, 255, 255)
+        thickness = 5
+    elif style == "light":
+        img = (rng.uniform(160, 255, (h, w, 3)) + rng.normal(0, 20, (h, w, 3))).clip(0, 255)
+        img = img.astype(np.uint8)
+        for _ in range(6):  # distractor blobs
+            c = tuple(int(v) for v in rng.integers(0, 255, 3))
+            cv2.circle(img, (int(rng.uniform(0, w)), int(rng.uniform(0, h))),
+                       int(rng.uniform(8, 30)), c, -1, lineType=cv2.LINE_AA)
+        line_color = lambda: tuple(int(c) for c in rng.integers(0, 90, 3))
+        dot_color = (0, 0, 0)
+        thickness = 3
+    else:
+        raise ValueError(f"unknown style {style!r}")
+
     for joints in joints_list:
-        color = tuple(int(c) for c in rng.integers(120, 255, 3))
+        color = line_color()
         for pa, pb in topology.LIMBS:
             a = tuple(np.round(joints[pa, :2]).astype(int))
             b = tuple(np.round(joints[pb, :2]).astype(int))
-            cv2.line(img, a, b, color, thickness=5, lineType=cv2.LINE_AA)
+            cv2.line(img, a, b, color, thickness=thickness, lineType=cv2.LINE_AA)
         for p in range(18):
             cv2.circle(
                 img,
                 tuple(np.round(joints[p, :2]).astype(int)),
                 4,
-                (255, 255, 255),
+                dot_color,
                 -1,
                 lineType=cv2.LINE_AA,
             )
@@ -80,6 +103,7 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=368)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-persons", type=int, default=3)
+    ap.add_argument("--style", default="dark", choices=["dark", "light"])
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -90,7 +114,7 @@ def main(argv=None) -> int:
             n_persons = int(rng.integers(1, args.max_persons + 1))
             people = [make_person(rng, w, h) for _ in range(n_persons)]
             joints = np.stack([p[0] for p in people])
-            img = render(rng, joints, w, h)
+            img = render(rng, joints, w, h, style=args.style)
             mask = np.full((h, w), 255, np.uint8)
             # one record per person (reference selection: main person)
             for pj, size in people:
