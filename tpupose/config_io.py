@@ -17,7 +17,7 @@ import ast
 import configparser
 import dataclasses
 
-from tpupose.config import InferenceConfig, ModelConfig, PoseConfig
+from tpupose.config import PoseConfig
 
 
 def _parse_scale_search(raw: str) -> tuple[float, ...]:

@@ -20,11 +20,10 @@ import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import numpy as np
 
-from tpupose import topology
 from tpupose.config import PoseConfig
 from tpupose.data import hdf5 as hdf5_io
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupose import topology
-from tpupose.config import InferenceConfig
+
 
 
 def _limb_pair_scores(

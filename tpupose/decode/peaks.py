@@ -13,7 +13,6 @@ is the reference jnp implementation and the fallback.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupose import topology
-from tpupose.config import InferenceConfig
+
 
 
 def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:

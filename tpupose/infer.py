@@ -19,7 +19,7 @@ decode. TPU-native design decisions:
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Iterable, Iterator
 
 import jax

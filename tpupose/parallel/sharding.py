@@ -18,7 +18,7 @@ collectives).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Any, Callable, Iterable, Iterator
+from typing import Any, Callable, Iterable
 
 import jax
 import numpy as np
