@@ -39,12 +39,18 @@ def canon(people):
     return sorted(out)
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+@pytest.mark.parametrize("seed", list(range(1, 17)))
 def test_decode_fuzz_parity(seed):
     rng = np.random.default_rng(seed)
     h = w = 128
-    heat = smooth_field(rng, h, w, 19, sigma=5.0, gain=4.0)
-    paf = smooth_field(rng, h, w, 38, sigma=8.0, gain=3.0)
+    # mixed densities across seeds (round-2 VERDICT item 4): low-sigma
+    # high-gain fields are peak-dense and merge-heavy, high-sigma fields
+    # sparse and marginal
+    heat_sigma = [3.0, 5.0, 8.0][seed % 3]
+    heat_gain = [3.0, 4.0, 6.0][seed % 3]
+    paf_sigma = [5.0, 8.0, 12.0][(seed // 3) % 3]
+    heat = smooth_field(rng, h, w, 19, sigma=heat_sigma, gain=heat_gain)
+    paf = smooth_field(rng, h, w, 38, sigma=paf_sigma, gain=3.0)
 
     cfg = InferenceConfig(max_peaks=96, max_people=96)
     subset, cand = decode_np.decode_np(heat, paf, cfg)

@@ -90,3 +90,16 @@ def test_synthetic_dataset_tool(tmp_path):
     batches = list(pipeline.hdf5_batches(out, cfg, target_h=128, target_w=128,
                                          epochs=1))
     assert batches and batches[0]["images"].shape == (2, 128, 128, 3)
+
+
+def test_normalize_channel_order():
+    """channel_order="rgb" flips incoming RGB to the BGR the weights
+    expect; "bgr" is a no-op (round-1 ADVICE: the field was unread)."""
+    from tpupose.ops import image as image_ops
+
+    img = jnp.asarray(np.arange(2 * 2 * 3, dtype=np.float32).reshape(2, 2, 3))
+    bgr = image_ops.normalize(img, "bgr")
+    rgb = image_ops.normalize(img, "rgb")
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(bgr)[..., ::-1])
+    with pytest.raises(ValueError):
+        image_ops.normalize(img, "hsv")

@@ -75,6 +75,59 @@ def test_data_parallel_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_padded_batch_full_mesh_matches_unsharded(rng):
+    """Batch 10 on 8 devices: padded to 16 and sharded over the FULL mesh
+    must reproduce the unsharded batch-10 losses and params exactly
+    (padded rows are masked out; the loss divisor stays 10)."""
+    from tpupose.parallel.sharding import pad_batch
+
+    cfg = PoseConfig(
+        model=ModelConfig(boxsize=64, compute_dtype="float32"),
+        augment=AugmentConfig(max_persons=2),
+        train=TrainConfig(batch_size=10),
+    )
+    model = OpenPose(num_stages=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    state, tx = create_state(cfg, params)
+
+    n, h, w, p = 10, 96, 96, 2
+    joints = np.full((n, p, 18, 3), 2.0, np.float32)
+    joints[:, 0, :, 0] = rng.uniform(10, w - 10, (n, 18))
+    joints[:, 0, :, 1] = rng.uniform(10, h - 10, (n, 18))
+    joints[:, 0, :, 2] = 0.0
+    batch = {
+        "images": rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32),
+        "masks": np.ones((n, h, w), np.float32),
+        "joints": joints,
+        "centers": np.tile(np.asarray([[48.0, 48.0]], np.float32), (n, 1)),
+        "scales": np.full((n,), 0.8, np.float32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    step = make_train_step(cfg, model, tx, loss_denom=n)
+    tree_a, losses_a = step(
+        jax.tree.map(jnp.copy, state.tree()),
+        key,
+        {k: jnp.asarray(v) for k, v in batch.items()},
+    )
+
+    mesh = make_mesh()
+    padded, n_real = pad_batch(batch, mesh.devices.size)
+    assert n_real == n and padded["images"].shape[0] == 16
+    tree = replicate_tree(mesh, jax.tree.map(jnp.copy, state.tree()))
+    tree_b, losses_b = step(tree, key, shard_batch(mesh, padded))
+
+    np.testing.assert_allclose(
+        float(losses_a["total"]), float(losses_b["total"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tree_a["params"]),
+        jax.tree_util.tree_leaves(tree_b["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_scale_mesh_sizing():
     # 8 devices: 4 scales -> mesh 4; 3 scales -> 3; 5 -> 5; 1 -> 1
     assert scale_mesh(4).devices.size == 4

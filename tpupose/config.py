@@ -52,7 +52,13 @@ class InferenceConfig:
     # Static capacities for jit-compiled decode (reference is dynamic NumPy;
     # SURVEY.md section 7 "hard parts"). COCO maxima comfortably fit these.
     max_peaks: int = 96         # per part channel
-    max_people: int = 96        # subset rows
+    max_people: int = 96        # subset rows returned by the decode
+    # Working capacity of the assembly scan: concurrent PARTIAL people
+    # (most are culled by min_subset_cnt at the end) can far exceed the
+    # final count — dense fields need ~2x the seeding connections. When
+    # the scan table is full, further seeds are dropped (the reference's
+    # dynamic list has no cap; fuzz parity holds within this capacity).
+    scan_people_capacity: int = 256
     # Greedy acceptance packs valid connections into the leading slots, so
     # capping the per-limb table truncates only beyond this many people.
     # Default equals max_peaks (no truncation within capacity); deployments
@@ -79,6 +85,10 @@ class AugmentConfig:
     # Maximum persons rasterised per sample (static shape for the on-device
     # GT path; reference loops over a python list).
     max_persons: int = 24
+    # Image-warp formulation: "twopass" = gather-free dense-hat resampling
+    # (~7x faster on TPU, sub-pixel different from cv2), "exact" = 4-corner
+    # bilinear gather (bit-parity with cv2.warpAffine / the NumPy twin).
+    warp_method: str = "twopass"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,16 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "rle.c"))
-_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "librle.so"))
+
+
+def _so_path() -> str:
+    """Build target in a user cache dir: the package tree may be
+    read-only when installed, and no binary is committed to the repo."""
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(cache, "tpupose", "librle.so")
+
 
 _lib = None
 _lib_failed = False
@@ -29,13 +38,15 @@ def _load() -> ctypes.CDLL | None:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        so = _so_path()
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
+            os.makedirs(os.path.dirname(so), exist_ok=True)
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["cc", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                 check=True,
                 capture_output=True,
             )
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.rle_decode.restype = ctypes.c_int
         lib.rle_encode.restype = ctypes.c_int
         lib.rle_from_string.restype = ctypes.c_int

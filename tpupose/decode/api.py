@@ -53,10 +53,13 @@ def decode_impl(
     people = _assemble.assemble(
         peaks,
         conns,
-        max_people=cfg.max_people,
+        max_people=max(cfg.max_people, cfg.scan_people_capacity),
         min_cnt=cfg.min_subset_cnt,
         min_score=cfg.min_subset_score,
     )
+    # kept rows are compacted to the front in creation order; return the
+    # configured output capacity
+    people = {k: v[: cfg.max_people] for k, v in people.items()}
     return {
         **people,
         "peak_xs": peaks["xs"],

@@ -61,31 +61,37 @@ def assemble(
 
     p = max_people
     arange_p = jnp.arange(p)
+    big_stamp = jnp.int32(1 << 30)
 
     def step(carry, inp):
-        rows, score, cnt, active = carry
+        rows, score, cnt, active, stamp, next_stamp = carry
         (ap, bp, pa, pb, cs, sa, sb, valid, seed_ok) = inp
 
         match = active & ((rows[:, ap] == pa) | (rows[:, bp] == pb))
         found = match.sum()
-        j1 = jnp.argmax(match)                       # first matching row
-        match2 = match & (arange_p != j1)
-        j2 = jnp.argmax(match2)
+        # j1/j2 = the two OLDEST matching rows by creation stamp — the
+        # reference iterates its subset list in creation order, and after
+        # a merge frees a slot, slot order no longer equals creation order
+        # (round-1 ADVICE finding).
+        stamped = jnp.where(match, stamp, big_stamp)
+        j1 = jnp.argmin(stamped)
+        stamped2 = jnp.where(match & (arange_p != j1), stamp, big_stamp)
+        j2 = jnp.argmin(stamped2)
 
-        # --- case: found == 1 (or found >= 2 with part overlap) ----------
+        # --- case split (reference demo_image.py subset loop) -------------
+        # found == 1: extend j1 with b, only if j1's b-slot differs
+        # found == 2: merge if the rows are disjoint, else extend j1
+        #             unconditionally
+        # found >= 3: the reference's if/elif chain does NOTHING
         row_j1 = rows[j1]
         needs_b = row_j1[bp] != pb
-
-        # --- case: found >= 2 -> overlap test ----------------------------
         overlap = ((rows[j1] >= 0) & (rows[j2] >= 0)).sum() > 0
 
         do_new = valid & (found == 0) & seed_ok
-        do_one = valid & ((found == 1) | ((found >= 2) & overlap))
-        do_merge = valid & (found >= 2) & jnp.logical_not(overlap)
-
-        # found==1 only updates when slot b differs; found==2-overlap
-        # updates unconditionally (reference semantics).
-        do_one_update = do_one & (needs_b | (found >= 2))
+        do_one = valid & (
+            ((found == 1) & needs_b) | ((found == 2) & overlap)
+        )
+        do_merge = valid & (found == 2) & jnp.logical_not(overlap)
 
         # new row at first free slot
         free = jnp.argmin(active)                    # first False
@@ -93,13 +99,9 @@ def assemble(
         do_new = do_new & has_free
 
         # --- apply: extend row j1 ----------------------------------------
-        rows = jnp.where(
-            do_one_update,
-            rows.at[j1, bp].set(pb),
-            rows,
-        )
-        cnt = jnp.where(do_one_update, cnt.at[j1].add(1), cnt)
-        score = jnp.where(do_one_update, score.at[j1].add(sb + cs), score)
+        rows = jnp.where(do_one, rows.at[j1, bp].set(pb), rows)
+        cnt = jnp.where(do_one, cnt.at[j1].add(1), cnt)
+        score = jnp.where(do_one, score.at[j1].add(sb + cs), score)
 
         # --- apply: merge j2 into j1 --------------------------------------
         merged_row = jnp.where(rows[j2] >= 0, rows[j2], rows[j1])
@@ -118,16 +120,20 @@ def assemble(
         cnt = jnp.where(do_new, cnt.at[free].set(2), cnt)
         score = jnp.where(do_new, score.at[free].set(sa + sb + cs), score)
         active = jnp.where(do_new, active.at[free].set(True), active)
+        stamp = jnp.where(do_new, stamp.at[free].set(next_stamp), stamp)
+        next_stamp = next_stamp + do_new.astype(jnp.int32)
 
-        return (rows, score, cnt, active), None
+        return (rows, score, cnt, active, stamp, next_stamp), None
 
     init = (
         jnp.full((p, topology.NUM_PARTS), -1, jnp.int32),
         jnp.zeros((p,), jnp.float32),
         jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), bool),
+        jnp.full((p,), big_stamp, jnp.int32),
+        jnp.int32(0),
     )
-    (rows, score, cnt, active), _ = jax.lax.scan(
+    (rows, score, cnt, active, stamp, _), _ = jax.lax.scan(
         step,
         init,
         (a_part, b_part, pid_a, pid_b, conn_score, sc_a, sc_b, conn_valid, can_seed),
@@ -135,8 +141,8 @@ def assemble(
 
     keep = active & (cnt >= min_cnt) & (score / jnp.maximum(cnt, 1) >= min_score)
 
-    # compact kept rows to the front, preserving creation order
-    order = jnp.argsort(jnp.logical_not(keep), stable=True)
+    # compact kept rows to the front, in creation (stamp) order
+    order = jnp.argsort(jnp.where(keep, stamp, big_stamp), stable=True)
     return {
         "rows": rows[order],
         "score": jnp.where(keep, score, 0.0)[order],

@@ -73,12 +73,14 @@ def affine_matrix(
     cy = center[1] + params["perturb"][1]
     half = out_size / 2.0
 
-    # full = T(out/2) @ Flip @ Rot @ Scale @ T(-center)
+    # full = T(out/2) @ Flip @ Rot @ Scale @ T(-center); the flip mirrors
+    # about x = (out-1)/2 (cv2.flip semantics: x' = out-1-x), hence the
+    # extra -1 in tx when flipped.
     a00 = f * c * scale
     a01 = f * (-s) * scale
     a10 = s * scale
     a11 = c * scale
-    tx = -(a00 * cx + a01 * cy) + half
+    tx = -(a00 * cx + a01 * cy) + half - jnp.where(params["flip"], 1.0, 0.0)
     ty = -(a10 * cx + a11 * cy) + half
     return jnp.asarray([[a00, a01, tx], [a10, a11, ty]])
 
@@ -131,6 +133,95 @@ def warp_image(
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def warp_image_twopass(
+    img: jnp.ndarray,
+    affine: jnp.ndarray,
+    out_size: int,
+    border_value: float,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Gather-free bilinear warp: two 1-D dense-hat resampling passes.
+
+    TPU gathers lower to serial dynamic-slices, which made the 4-tap
+    ``warp_image`` the dominant cost of the train step (~51 ms of a
+    batch-10 step vs ~7 ms for this formulation, measured round 2).
+    Each pass contracts the image against the hat function
+    ``max(0, 1-|pos-w|)`` over chunked source columns/rows — pure
+    VPU-friendly elementwise math + reductions, no gathers.
+
+    Pass 1 resamples each *source row* ``v`` horizontally at
+    ``q(x, v) = qa*x + qb*v + qc`` (the source column where output column
+    ``x``'s inverse-mapped ray crosses row ``v``); pass 2 resamples the
+    intermediate vertically at ``r(y, x)``. The composition samples the
+    bilinear surface along the correct slanted line; it differs from
+    cv2's 4-corner bilinear only sub-pixel (identical on locally-linear
+    images, same interpolation quality class on natural ones) — see
+    ``warp_image`` for the exact 4-corner path used by parity tests.
+    Constant-border semantics match cv2.BORDER_CONSTANT exactly.
+    """
+    inv = _invert_affine(affine)
+    i00, i01, i02 = inv[0, 0], inv[0, 1], inv[0, 2]
+    i10, i11, i12 = inv[1, 0], inv[1, 1], inv[1, 2]
+    sh, sw, c = img.shape
+    # i11 = cos(rot)/scale never vanishes for |rot| <= 40deg (AugmentConfig)
+    qa = (i00 * i11 - i01 * i10) / i11
+    qb = i01 / i11
+    qc = i02 - i01 * i12 / i11
+    v = jnp.arange(sh, dtype=jnp.float32)
+    x = jnp.arange(out_size, dtype=jnp.float32)
+    q = qa * x[None, :] + qb * v[:, None] + qc            # (sh, O)
+    imgf = img.astype(jnp.float32)
+    # pad to chunk multiples so dynamic_slice never clamps; the hat mask
+    # (wj < sw / vj < sh) gives padded source cells zero weight
+    pad_w = (-sw) % chunk
+    if pad_w:
+        imgf = jnp.pad(imgf, ((0, 0), (0, pad_w), (0, 0)))
+
+    def pass1(carry, w0):
+        acc, wsum = carry
+        wj = w0.astype(jnp.float32) + jnp.arange(chunk, dtype=jnp.float32)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, :, None] - wj))
+        hat = hat * (wj < sw)
+        seg = jax.lax.dynamic_slice(imgf, (0, w0, 0), (sh, chunk, c))
+        acc = acc + jnp.einsum("vxk,vkc->vxc", hat, seg)
+        wsum = wsum + hat.sum(-1)
+        return (acc, wsum), None
+
+    n_wc = -(-sw // chunk)
+    (i1, wsum), _ = jax.lax.scan(
+        pass1,
+        (jnp.zeros((sh, out_size, c), jnp.float32),
+         jnp.zeros((sh, out_size), jnp.float32)),
+        jnp.arange(n_wc) * chunk,
+    )
+    i1 = i1 + border_value * (1.0 - wsum)[..., None]      # (sh, O, c)
+    pad_h = (-sh) % chunk
+    if pad_h:
+        i1 = jnp.pad(i1, ((0, pad_h), (0, 0), (0, 0)))
+
+    y = jnp.arange(out_size, dtype=jnp.float32)
+    r = i10 * x[None, :] + i11 * y[:, None] + i12          # (O, O)
+
+    def pass2(carry, v0):
+        acc, wsum = carry
+        vj = v0.astype(jnp.float32) + jnp.arange(chunk, dtype=jnp.float32)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(r[:, :, None] - vj))
+        hat = hat * (vj < sh)
+        seg = jax.lax.dynamic_slice(i1, (v0, 0, 0), (chunk, out_size, c))
+        acc = acc + jnp.einsum("yxk,kxc->yxc", hat, seg)
+        wsum = wsum + hat.sum(-1)
+        return (acc, wsum), None
+
+    n_vc = -(-sh // chunk)
+    (out, wsum), _ = jax.lax.scan(
+        pass2,
+        (jnp.zeros((out_size, out_size, c), jnp.float32),
+         jnp.zeros((out_size, out_size), jnp.float32)),
+        jnp.arange(n_vc) * chunk,
+    )
+    return out + border_value * (1.0 - wsum)[..., None]
 
 
 def sample_mask_at_label_grid(
@@ -204,7 +295,14 @@ def augment_batch(
     """
     n = images.shape[0]
     box = model.boxsize
-    keys = jax.random.split(key, n)
+    # fold_in (not split): sample i's draws depend only on (key, i), so a
+    # batch padded for mesh divisibility augments its real samples
+    # identically to the unpadded batch (tests/test_parallel.py relies
+    # on this for the sharded == unsharded proof).
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    warp = (
+        warp_image if aug.warp_method == "exact" else warp_image_twopass
+    )
 
     def one(k, img, msk, jts, ctr, scl):
         p = (
@@ -213,7 +311,7 @@ def augment_batch(
             else {**identity_params()}
         )
         m = affine_matrix(ctr, scl, p, aug, box)
-        img_w = warp_image(img, m, box, float(model.pad_value))
+        img_w = warp(img, m, box, float(model.pad_value))
         lbl = sample_mask_at_label_grid(msk, m, model.label_size, model.stride)
         jts_w = transform_joints(jts, m, p["flip"], box)
         return img_w, lbl, jts_w

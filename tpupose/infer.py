@@ -66,11 +66,12 @@ class PoseEstimator:
         key = ("maps", in_h, in_w, rh, rw)
         if key not in self._fns:
             model = self.model
-            stride = self.cfg.model.stride
+            mcfg = self.cfg.model
+            stride = mcfg.stride
 
             @jax.jit
             def run(params, img_u8):
-                x = image_ops.normalize(img_u8)
+                x = image_ops.normalize(img_u8, mcfg.channel_order)
                 x = image_ops.resize_bilinear(x, rh, rw)
                 x, _ = image_ops.pad_right_down(x, stride, image_ops.PAD_NORM)
                 paf, heat = model.apply({"params": params}, x[None])[-1]
@@ -95,7 +96,7 @@ class PoseEstimator:
 
             @jax.jit
             def run(params, img_u8):
-                x0 = image_ops.normalize(img_u8)
+                x0 = image_ops.normalize(img_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
                 n = float(len(sizes))
@@ -125,7 +126,7 @@ class PoseEstimator:
 
             @jax.jit
             def run(params, imgs_u8):
-                x = image_ops.normalize(imgs_u8)
+                x = image_ops.normalize(imgs_u8, mcfg.channel_order)
                 x = image_ops.resize_bilinear(x, rh, rw)
                 x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
                 paf, heat = model.apply({"params": params}, x)[-1]

@@ -93,8 +93,17 @@ def upsample_to(
     return resize_bilinear(full, out_h, out_w)
 
 
-def normalize(img: jnp.ndarray) -> jnp.ndarray:
-    """Reference preprocessing contract: img/256 - 0.5."""
+def normalize(img: jnp.ndarray, channel_order: str = "bgr") -> jnp.ndarray:
+    """Reference preprocessing contract: img/256 - 0.5 on BGR pixels.
+
+    The reference feeds cv2-decoded (BGR) images; ``channel_order``
+    declares the order of the *incoming* array and flips RGB input to
+    the BGR the weights expect (ModelConfig.channel_order).
+    """
+    if channel_order == "rgb":
+        img = img[..., ::-1]
+    elif channel_order != "bgr":
+        raise ValueError(f"unknown channel_order: {channel_order!r}")
     return img.astype(jnp.float32) / 256.0 - 0.5
 
 

@@ -23,16 +23,20 @@ def init_multihost(
     if multi-host mode was initialised, False for single-host runs."""
     import jax
 
-    coordinator_address = coordinator_address or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    )
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator_address:
         return False
+    # `is None` (not falsy-or): an explicit process_id=0 must never be
+    # silently replaced by the env var.
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 

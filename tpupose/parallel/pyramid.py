@@ -52,7 +52,7 @@ def build_sharded_pyramid_fn(
 
     @partial(jax.jit, out_shardings=repl_sh)
     def run(params, img_u8):
-        x0 = image_ops.normalize(img_u8)
+        x0 = image_ops.normalize(img_u8, mcfg.channel_order)
         # build the scale batch on one canvas (gray outside each scale)
         canvases = []
         for rh, rw, _, _ in sizes:

@@ -56,6 +56,41 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# Pad values per batch key: padded samples must be inert — a zero
+# miss-mask kills their loss contribution, absent joints (v=2) keep the
+# GT rasteriser away, scale 1 keeps the augmentation affine well-posed.
+_PAD_VALUES = {"masks": 0, "joints": 2.0, "scales": 1.0}
+
+
+def pad_batch(
+    batch: dict[str, Any], multiple: int
+) -> tuple[dict[str, Any], int]:
+    """Pad every leaf's leading axis to a multiple of the mesh size.
+
+    Returns (padded_batch, real_count). Keeps batch-10 from quietly
+    running on 5 of 8 chips: the batch is padded to 16 and sharded over
+    all 8, while the loss divisor stays the real count (pass it to
+    ``make_train_step(loss_denom=...)``).
+    """
+    n = next(iter(batch.values())).shape[0]
+    target = pad_to_multiple(n, multiple)
+    if target == n:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        widths = [(0, target - n)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, widths, constant_values=_PAD_VALUES.get(k, 0))
+    # explicit per-sample weight: a zero miss-mask alone is NOT enough,
+    # because the augmentation's label-grid mask sampler reads 1.0 (keep)
+    # outside the source image — the train step multiplies this into the
+    # label mask after augmentation
+    weight = np.zeros((target,), np.float32)
+    weight[:n] = batch.get("weight", np.ones((n,), np.float32))
+    out["weight"] = weight
+    return out, n
+
+
 def data_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
     """Largest mesh whose size divides the batch (so batches shard evenly).
 

@@ -153,7 +153,10 @@ def affine_matrix_np(
     scale_m = mat3([[scale, 0, 0], [0, scale, 0], [0, 0, 1]])
     rot = mat3([[c, -s, 0], [s, c, 0], [0, 0, 1]])
     flip_m = mat3([[-1 if flip else 1, 0, 0], [0, 1, 0], [0, 0, 1]])
-    to_out = mat3([[1, 0, out_size / 2.0], [0, 1, out_size / 2.0], [0, 0, 1]])
+    # cv2.flip mirrors about x = (out-1)/2 (x' = out-1-x), hence the -1
+    # in the output translation when flipped.
+    tx = out_size / 2.0 - (1.0 if flip else 0.0)
+    to_out = mat3([[1, 0, tx], [0, 1, out_size / 2.0], [0, 0, 1]])
 
     full = to_out @ flip_m @ rot @ scale_m @ center_to_origin
     return full[:2]
@@ -198,6 +201,42 @@ def warp_image_np(
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def warp_image_twopass_np(
+    img: np.ndarray, affine: np.ndarray, out_size: int, border_value
+) -> np.ndarray:
+    """NumPy twin of ``gt.augment.warp_image_twopass``: two 1-D dense-hat
+    resampling passes (slanted-line bilinear). Mirrors the device math
+    exactly so the TPU training warp has a bit-level oracle."""
+    inv = np.linalg.inv(np.vstack([affine, [0, 0, 1]]))[:2]
+    i00, i01, i02 = inv[0]
+    i10, i11, i12 = inv[1]
+    sh, sw = img.shape[:2]
+    squeeze = img.ndim == 2
+    imgf = (img[..., None] if squeeze else img).astype(np.float64)
+    c = imgf.shape[2]
+    qa = (i00 * i11 - i01 * i10) / i11
+    qb = i01 / i11
+    qc = i02 - i01 * i12 / i11
+
+    x = np.arange(out_size, dtype=np.float64)
+    w = np.arange(sw, dtype=np.float64)
+    i1 = np.zeros((sh, out_size, c))
+    for vi in range(sh):                                   # pass 1: rows
+        q = qa * x + qb * vi + qc                          # (O,)
+        hat = np.maximum(0.0, 1.0 - np.abs(q[:, None] - w))  # (O, sw)
+        i1[vi] = hat @ imgf[vi] + border_value * (1.0 - hat.sum(1))[:, None]
+
+    y = np.arange(out_size, dtype=np.float64)
+    v = np.arange(sh, dtype=np.float64)
+    out = np.zeros((out_size, out_size, c))
+    for yi in range(out_size):                             # pass 2: columns
+        r = i10 * x + i11 * yi + i12                       # (O,)
+        hat = np.maximum(0.0, 1.0 - np.abs(r[:, None] - v))  # (O, sh)
+        out[yi] = np.einsum("xv,vxc->xc", hat, i1)
+        out[yi] += border_value * (1.0 - hat.sum(1))[:, None]
+    return out[..., 0] if squeeze else out
 
 
 def transform_joints_np(

@@ -13,12 +13,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def eucl_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def eucl_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    denom: int | None = None,
+) -> jnp.ndarray:
     """sum((m*pred - m*gt)^2) / N / 2 for one head.
 
-    pred/gt: (N, L, L, C); mask: (N, L, L) in [0, 1].
+    pred/gt: (N, L, L, C); mask: (N, L, L) in [0, 1]. ``denom`` overrides
+    the batch-size divisor — used when the batch is padded to the mesh
+    size (padded rows carry a zero mask, so only the divisor must track
+    the real sample count).
     """
-    n = pred.shape[0]
+    n = denom if denom is not None else pred.shape[0]
     d = (pred - gt) * mask[..., None]
     return jnp.sum(jnp.square(d)) / n / 2.0
 
@@ -28,6 +36,7 @@ def stagewise_losses(
     paf_gt: jnp.ndarray,
     heat_gt: jnp.ndarray,
     mask: jnp.ndarray,
+    denom: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Per-head loss dict + total, matching the reference's 12-output sum.
 
@@ -37,8 +46,8 @@ def stagewise_losses(
     losses: dict[str, jnp.ndarray] = {}
     total = 0.0
     for t, (paf, heat) in enumerate(outputs, start=1):
-        lp = eucl_loss(paf * mask[..., None], paf_gt, jnp.ones_like(mask))
-        lh = eucl_loss(heat * mask[..., None], heat_gt, jnp.ones_like(mask))
+        lp = eucl_loss(paf * mask[..., None], paf_gt, jnp.ones_like(mask), denom)
+        lh = eucl_loss(heat * mask[..., None], heat_gt, jnp.ones_like(mask), denom)
         losses[f"stage{t}_L1"] = lp
         losses[f"stage{t}_L2"] = lh
         total = total + lp + lh

@@ -49,15 +49,27 @@ def create_state(cfg: PoseConfig, params: Any) -> tuple[TrainState, optax.Gradie
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
 
 
-def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransformation):
-    """Returns jitted step(state_tree, key, batch) -> (state_tree, metrics)."""
+def make_train_step(
+    cfg: PoseConfig,
+    model: OpenPose,
+    tx: optax.GradientTransformation,
+    loss_denom: int | None = None,
+):
+    """Returns jitted step(state_tree, key, batch) -> (state_tree, metrics).
+
+    ``loss_denom`` fixes the eucl-loss batch divisor to the *real* sample
+    count when batches are padded to the mesh size (padded rows ship a
+    zero miss-mask, so they contribute nothing to the numerator).
+    """
 
     model_cfg = cfg.model
     aug_cfg = cfg.augment
 
     def loss_fn(params, images_norm, paf_gt, heat_gt, label_mask):
         outputs = model.apply({"params": params}, images_norm)
-        losses = loss_lib.stagewise_losses(outputs, paf_gt, heat_gt, label_mask)
+        losses = loss_lib.stagewise_losses(
+            outputs, paf_gt, heat_gt, label_mask, loss_denom
+        )
         return losses["total"], losses
 
     def _norm_masks(masks):
@@ -79,6 +91,8 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
             model_cfg,
             aug_cfg,
         )
+        if "weight" in batch:  # mesh-padded batches: zero out padded rows
+            label_mask = label_mask * batch["weight"][:, None, None]
         from tpupose.ops import use_pallas
 
         if use_pallas():
@@ -93,7 +107,7 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
             sigma=aug_cfg.sigma,
             paf_thre=aug_cfg.paf_thre,
         )
-        images_norm = image_ops.normalize(images_a)
+        images_norm = image_ops.normalize(images_a, model_cfg.channel_order)
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, images_norm, paf_gt, heat_gt, label_mask
@@ -108,7 +122,7 @@ def make_train_step(cfg: PoseConfig, model: OpenPose, tx: optax.GradientTransfor
     return step
 
 
-def make_eval_step(cfg: PoseConfig, model: OpenPose):
+def make_eval_step(cfg: PoseConfig, model: OpenPose, loss_denom: int | None = None):
     """Forward-only loss on a raw batch with deterministic (identity)
     augmentation — the reference's validation-generator path."""
 
@@ -133,6 +147,8 @@ def make_eval_step(cfg: PoseConfig, model: OpenPose):
             aug_cfg,
             training=False,
         )
+        if "weight" in batch:
+            label_mask = label_mask * batch["weight"][:, None, None]
         paf_gt, heat_gt = gt_rasterize.create_labels(
             joints_a,
             label_mask,
@@ -141,8 +157,13 @@ def make_eval_step(cfg: PoseConfig, model: OpenPose):
             sigma=aug_cfg.sigma,
             paf_thre=aug_cfg.paf_thre,
         )
-        outputs = model.apply({"params": params}, image_ops.normalize(images_a))
-        return loss_lib.stagewise_losses(outputs, paf_gt, heat_gt, label_mask)
+        outputs = model.apply(
+            {"params": params},
+            image_ops.normalize(images_a, model_cfg.channel_order),
+        )
+        return loss_lib.stagewise_losses(
+            outputs, paf_gt, heat_gt, label_mask, loss_denom
+        )
 
     return step
 
