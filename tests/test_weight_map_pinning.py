@@ -1,0 +1,139 @@
+"""Pin the Keras->flax layer-name map against the upstream naming
+(round-1 VERDICT missing #6).
+
+The layer table below is written out BY HAND from the upstream
+lineage's model.py naming scheme (SURVEY.md C2/C3) — it must never be
+generated from tpupose's own mapping code, or the test would be
+circular. The test builds a full Keras-layout ``.h5`` with a unique
+constant per layer, overlays it, and checks every flax conv received
+its intended source (all four mapping branches: vgg, cpm, stage-1
+conv5_*_CPM_{L1,L2}, refinement Mconv*_stage{t}_{L1,L2}).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# --- the upstream Keras layer table, hand-written (name -> kernel shape) ------
+VGG = {
+    "conv1_1": (3, 3, 3, 64), "conv1_2": (3, 3, 64, 64),
+    "conv2_1": (3, 3, 64, 128), "conv2_2": (3, 3, 128, 128),
+    "conv3_1": (3, 3, 128, 256), "conv3_2": (3, 3, 256, 256),
+    "conv3_3": (3, 3, 256, 256), "conv3_4": (3, 3, 256, 256),
+    "conv4_1": (3, 3, 256, 512), "conv4_2": (3, 3, 512, 512),
+}
+CPM = {"conv4_3_CPM": (3, 3, 512, 256), "conv4_4_CPM": (3, 3, 256, 128)}
+
+
+def upstream_layers() -> dict[str, tuple]:
+    layers = dict(VGG)
+    layers.update(CPM)
+    for branch, out_c in (("L1", 38), ("L2", 19)):
+        for i in (1, 2, 3):
+            layers[f"conv5_{i}_CPM_{branch}"] = (3, 3, 128, 128)
+        layers[f"conv5_4_CPM_{branch}"] = (1, 1, 128, 512)
+        layers[f"conv5_5_CPM_{branch}"] = (1, 1, 512, out_c)
+    for t in range(2, 7):
+        for branch, out_c in (("L1", 38), ("L2", 19)):
+            layers[f"Mconv1_stage{t}_{branch}"] = (7, 7, 185, 128)
+            for i in (2, 3, 4, 5):
+                layers[f"Mconv{i}_stage{t}_{branch}"] = (7, 7, 128, 128)
+            layers[f"Mconv6_stage{t}_{branch}"] = (1, 1, 128, 128)
+            layers[f"Mconv7_stage{t}_{branch}"] = (1, 1, 128, out_c)
+    return layers
+
+
+def layer_const(name: str) -> float:
+    """Unique, process-stable fingerprint value per layer."""
+    import zlib
+
+    return (zlib.crc32(name.encode()) % 100003) / 1000.0
+
+
+@pytest.fixture(scope="module")
+def keras_h5(tmp_path_factory):
+    import h5py
+
+    path = str(tmp_path_factory.mktemp("keras") / "reference_weights.h5")
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        for name, kshape in upstream_layers().items():
+            g = mw.create_group(name).create_group(name)
+            g.create_dataset(
+                "kernel:0", data=np.full(kshape, layer_const(name), np.float32)
+            )
+            g.create_dataset(
+                "bias:0",
+                data=np.full((kshape[-1],), layer_const(name) + 0.5, np.float32),
+            )
+    return path
+
+
+def test_every_flax_param_finds_its_upstream_layer(keras_h5):
+    from tpupose.models import OpenPose, weights as weights_lib
+
+    model = OpenPose(num_stages=6, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    loaded, missing = weights_lib.load_keras_h5(keras_h5, params)
+    assert missing == []
+
+    # positional pins, one per mapping branch
+    pins = {
+        ("vgg", "conv1_1"): "conv1_1",
+        ("vgg", "conv4_2"): "conv4_2",
+        ("cpm", "conv4_3_CPM"): "conv4_3_CPM",
+        ("cpm", "conv4_4_CPM"): "conv4_4_CPM",
+        ("stage1_L1", "conv2"): "conv5_2_CPM_L1",
+        ("stage1_L2", "conv4"): "conv5_4_CPM_L2",
+        ("stage1_L1", "out"): "conv5_5_CPM_L1",
+        ("stage3_L2", "conv1"): "Mconv1_stage3_L2",
+        ("stage6_L1", "conv5"): "Mconv5_stage6_L1",
+        ("stage2_L2", "conv6"): "Mconv6_stage2_L2",
+        ("stage6_L2", "out"): "Mconv7_stage6_L2",
+    }
+    for (scope, leaf), expected_layer in pins.items():
+        k = np.asarray(loaded[scope][leaf]["kernel"])
+        b = np.asarray(loaded[scope][leaf]["bias"])
+        want = layer_const(expected_layer)
+        assert np.allclose(k, want), f"{scope}/{leaf} kernel != {expected_layer}"
+        assert np.allclose(b, want + 0.5), f"{scope}/{leaf} bias != {expected_layer}"
+
+    # every upstream layer is used exactly once (no crossed/dropped names)
+    got = sorted(
+        round(float(np.asarray(loaded[s][l]["kernel"]).ravel()[0]), 3)
+        for s in loaded for l in loaded[s]
+    )
+    want = sorted(round(layer_const(n), 3) for n in upstream_layers())
+    assert got == want
+
+
+def test_convert_weights_cli_to_orbax_and_back(keras_h5, tmp_path):
+    """End-to-end: cli convert-weights -> Orbax checkpoint -> restored
+    params drive a PoseEstimator forward."""
+    from tpupose import cli
+    from tpupose.infer import PoseEstimator
+    from tpupose.training import checkpoint as ckpt_lib
+
+    out = str(tmp_path / "ckpt")
+    rc = cli.main(["convert-weights", "--weights", keras_h5, "--output", out])
+    assert rc == 0
+
+    from tpupose.config import DEFAULT
+    from tpupose.models import OpenPose
+
+    model = OpenPose(num_stages=6, dtype=jnp.float32)
+    template = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 368, 368, 3)))["params"]
+    )
+    restored = ckpt_lib.restore(out, {"params": template, "opt_state": {},
+                                      "step": np.zeros((), np.int32)})
+    assert restored is not None
+    p = restored["params"]
+    assert np.allclose(
+        np.asarray(p["vgg"]["conv1_1"]["kernel"]), layer_const("conv1_1")
+    )
+    est = PoseEstimator(params=p)
+    result = est.process(np.zeros((64, 64, 3), np.uint8))
+    assert "people" in result

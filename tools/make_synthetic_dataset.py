@@ -116,11 +116,13 @@ def main(argv=None) -> int:
             joints = np.stack([p[0] for p in people])
             img = render(rng, joints, w, h, style=args.style)
             mask = np.full((h, w), 255, np.uint8)
+            areas = hdf5_io.estimate_areas(joints)
             # one record per person (reference selection: main person)
             for pj, size in people:
                 present = pj[:, 2] < 2
                 cx, cy = pj[present, 0].mean(), pj[present, 1].mean()
-                writer.add(img, mask, joints, (cx, cy), size / 368.0)
+                writer.add(img, mask, joints, (cx, cy), size / 368.0,
+                           areas=areas)
                 n_written += 1
     print(f"wrote {n_written} records -> {args.output}")
     return 0

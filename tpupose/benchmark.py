@@ -1,15 +1,17 @@
 """Headline benchmark: 368x368 multi-person images/sec/chip.
 
-Measures the full product path (BASELINE.json metric): single-scale
-368x368 CNN forward + fused multi-person decode, warm, on the available
-accelerator. The baseline denominator is the reference pipeline's
-per-image CPU latency — its decode stages are single-threaded
+Measures the full product path (BASELINE.json metric): the reference's
+4-scale resize/pad pyramid + CNN forwards + fused multi-person decode,
+batched and pipelined, warm, on the available accelerator; the
+single-scale realtime variant and MFU are reported alongside. The
+baseline denominators are the reference pipeline's per-image CPU
+latencies (single- and 4-scale) — its decode stages are single-threaded
 NumPy/SciPy (reproduced faithfully in tpupose.reference_impl) plus the
-CNN forward; measured once on this host and cached in
-``bench_baseline.json`` (SURVEY.md section 6: the reference publishes no
-numbers of its own, BASELINE.json "published": {}).
+CNN forwards at every pyramid size; measured once on this host and
+cached in ``bench_baseline.json`` (SURVEY.md section 6: the reference
+publishes no numbers of its own, BASELINE.json "published": {}).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -61,13 +63,18 @@ def synthetic_scene(size=368):
     return image, (heat + noise).astype(np.float32), paf.astype(np.float32)
 
 
-def measure_baseline() -> float:
-    """Reference-pipeline per-image CPU latency (seconds): NumPy/SciPy twin
-    decode + single-scale CNN forward on CPU."""
+def measure_baseline() -> dict:
+    """Reference-pipeline per-image CPU latencies (seconds).
+
+    Measures the NumPy/SciPy twin decode plus the CNN forward on host
+    CPU at EVERY pyramid scale size, so both the single-scale and the
+    4-scale (the reference's product path) baselines are real
+    measurements rather than extrapolations."""
     import jax
 
     from tpupose.config import DEFAULT
     from tpupose.models import OpenPose
+    from tpupose.ops.image import scale_sizes
     from tpupose.reference_impl import decode_np
 
     image, heat, paf = synthetic_scene()
@@ -81,38 +88,60 @@ def measure_baseline() -> float:
         decode_np.decode_np(heat, paf, DEFAULT.inference)
     decode_s = (time.perf_counter() - t0) / reps
 
-    # CNN forward on host CPU (stand-in for the reference's model.predict)
+    # CNN forward on host CPU (stand-in for the reference's model.predict).
+    # Requires a CPU backend: on TPU hosts where the accelerator plugin
+    # hides it, get_baseline() runs this function in a JAX_PLATFORMS=cpu
+    # subprocess instead.
     cpu = jax.devices("cpu")[0]
     import jax.numpy as jnp
 
     model = OpenPose(dtype=jnp.float32)
+    sizes = scale_sizes(
+        368, 368, DEFAULT.inference.scale_search,
+        DEFAULT.model.boxsize, DEFAULT.model.stride,
+    )
+    fwd_per_scale: dict[str, float] = {}
     with jax.default_device(cpu):
-        x = jnp.zeros((1, 368, 368, 3), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        x0 = jnp.zeros((1, 368, 368, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x0)["params"]
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[-1])
-        jax.block_until_ready(fwd(params, x))
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwd(params, x))
-        fwd_s = time.perf_counter() - t0
+        for _, _, ph, pw in sizes:
+            x = jnp.zeros((1, ph, pw, 3), jnp.float32)
+            jax.block_until_ready(fwd(params, x))
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(params, x))
+            fwd_per_scale[f"{ph}x{pw}"] = time.perf_counter() - t0
 
-    return decode_s + fwd_s
+    fwd_1 = fwd_per_scale["368x368"]
+    return {
+        "decode_s": decode_s,
+        "fwd_s_per_scale": fwd_per_scale,
+        "reference_cpu_latency_s": decode_s + fwd_1,
+        "reference_cpu_latency_4scale_s": decode_s + sum(fwd_per_scale.values()),
+        "note": "NumPy/SciPy twin decode + CPU CNN forward, per image",
+    }
 
 
-def get_baseline(cache_path: str) -> float:
+def get_baseline(cache_path: str) -> dict:
     if os.path.exists(cache_path):
         with open(cache_path) as f:
-            return json.load(f)["reference_cpu_latency_s"]
-    latency = measure_baseline()
-    with open(cache_path, "w") as f:
-        json.dump(
-            {
-                "reference_cpu_latency_s": latency,
-                "note": "NumPy/SciPy twin decode + CPU CNN forward, per image",
-            },
-            f,
-            indent=2,
-        )
-    return latency
+            data = json.load(f)
+        if "reference_cpu_latency_4scale_s" in data:
+            return data
+    # measure in a CPU-pinned subprocess: the baseline is a host-CPU
+    # number, and accelerator plugins may hide the in-process cpu backend
+    import subprocess
+    import sys
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    code = (
+        "import json; from tpupose import benchmark; "
+        f"json.dump(benchmark.measure_baseline(), open({cache_path!r}, 'w'), "
+        "indent=2)"
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True)
+    with open(cache_path) as f:
+        return json.load(f)
 
 
 BATCH = 8
@@ -129,35 +158,62 @@ def _enable_compile_cache():
         pass
 
 
-def main(baseline_cache: str | None = None):
-    _enable_compile_cache()
-    from tpupose.config import single_scale
-    from tpupose.infer import PoseEstimator
-
-    image, _, _ = synthetic_scene()
-    est = PoseEstimator(single_scale())
-    batch = np.stack([image] * BATCH)
-
-    # warm (compile) then measure sustained pipelined throughput
-    for _ in est.stream([batch] * N_WARMUP):
+def _measure_stream(est, batch, scales, n_warmup, n_batches) -> float:
+    """Sustained pipelined throughput (images/sec) for one scale set."""
+    for _ in est.stream([batch] * n_warmup, scales=scales):
         pass
     t0 = time.perf_counter()
     n_done = 0
-    for people in est.stream([batch] * N_BATCHES):
+    for people in est.stream([batch] * n_batches, scales=scales):
         n_done += len(people)
-    elapsed = time.perf_counter() - t0
-    ips = n_done / elapsed
+    return n_done / (time.perf_counter() - t0)
 
-    baseline_latency = get_baseline(baseline_cache or DEFAULT_BASELINE_CACHE)
-    baseline_ips = 1.0 / baseline_latency
+
+def main(baseline_cache: str | None = None):
+    _enable_compile_cache()
+    from tpupose.config import DEFAULT
+    from tpupose.infer import PoseEstimator
+    from tpupose.utils import flops as flops_lib
+
+    image, _, _ = synthetic_scene()
+    est = PoseEstimator(DEFAULT)
+    batch = np.stack([image] * BATCH)
+
+    # headline: the reference's product path — the full 4-scale pyramid,
+    # batched + pipelined (round-1 VERDICT missing #1 / weak #10)
+    ips4 = _measure_stream(est, batch, None, 2, 8)
+    ips1 = _measure_stream(est, batch, (1.0,), N_WARMUP, N_BATCHES)
+
+    baseline = get_baseline(baseline_cache or DEFAULT_BASELINE_CACHE)
+    base4_ips = 1.0 / baseline["reference_cpu_latency_4scale_s"]
+    base1_ips = 1.0 / baseline["reference_cpu_latency_s"]
+
+    mcfg, icfg = DEFAULT.model, DEFAULT.inference
+    fl4 = flops_lib.pyramid_flops(
+        368, 368, icfg.scale_search, mcfg.boxsize, mcfg.stride, mcfg.num_stages
+    )
+    fl1 = flops_lib.forward_flops(368, 368, mcfg.num_stages)
 
     print(
         json.dumps(
             {
-                "metric": "368x368 multi-person images/sec/chip (single-scale fwd+decode)",
-                "value": round(ips, 3),
+                "metric": "368x368 multi-person images/sec/chip "
+                          "(4-scale pyramid fwd+decode, batched+pipelined)",
+                "value": round(ips4, 3),
                 "unit": "images/sec",
-                "vs_baseline": round(ips / baseline_ips, 2),
+                "vs_baseline": round(ips4 / base4_ips, 2),
+                "single_scale_ips": round(ips1, 3),
+                "single_scale_vs_baseline": round(ips1 / base1_ips, 2),
+                "model_tflops_per_image_4scale": round(fl4 / 1e12, 3),
+                "mfu_4scale_pct": round(
+                    100.0 * ips4 * fl4 / flops_lib.PEAK_BF16_FLOPS, 2
+                ),
+                "mfu_single_scale_pct": round(
+                    100.0 * ips1 * fl1 / flops_lib.PEAK_BF16_FLOPS, 2
+                ),
+                "note": "wall numbers include the sandbox's ~29ms-RTT "
+                        "host<->chip relay; MFU is model-FLOPs-based "
+                        "(decode/resize not counted)",
             }
         )
     )

@@ -213,10 +213,12 @@ def cmd_eval(args) -> int:
             break
         out = est.process(rec["image"])
         preds.append(out["people"])
+        # real GT areas ride the records (bbox-estimated by the reader
+        # for pre-round-2 files without them) — OKS is exponential in area
         gts.append(
             [
-                {"keypoints": j, "area": float((j[:, 2] < 2).sum()) * 400.0}
-                for j in rec["joints"]
+                {"keypoints": j, "area": float(a)}
+                for j, a in zip(rec["joints"], rec["areas"])
                 if (j[:, 2] < 2).any()
             ]
         )
@@ -243,10 +245,13 @@ def cmd_convert_weights(args) -> int:
     if missing:
         print(f"warning: {len(missing)} layers missing from h5: {missing[:3]}...",
               file=sys.stderr)
-    tree = {"params": jax.device_get(params), "opt_state": {}, "step": 0}
     import numpy as np
 
-    tree["step"] = np.int32(0)
+    tree = {
+        "params": jax.device_get(params),
+        "opt_state": {},
+        "step": np.zeros((), np.int32),
+    }
     ckpt_lib.save(args.output, tree)
     print(f"converted {args.weights} -> {args.output}")
     return 0

@@ -92,7 +92,8 @@ def evaluate(
         total_gt += len(gt_list)
 
         det_kps, det_scores = people_to_array(preds)
-        order = np.argsort(-det_scores)
+        # stable, like COCOeval's mergesort: ties keep detection order
+        order = np.argsort(-det_scores, kind="stable")
 
         ious = np.zeros((len(order), len(gt_list)))
         for r, di in enumerate(order):
@@ -120,6 +121,8 @@ def evaluate(
 
     aps = []
     rank = sorted(range(len(det_scores_all)), key=lambda i: -det_scores_all[i])
+    # (python sorted is stable: global ties keep per-image insertion order,
+    # matching COCOeval's kind='mergesort')
     rec_points = np.linspace(0, 1, 101)
     for thr_i in range(n_thr):
         tp = np.asarray([det_tp_all[i][thr_i] for i in rank], bool)

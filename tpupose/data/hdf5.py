@@ -10,9 +10,19 @@ padding (max_persons, letterboxing) so batches are jit-static.
 Record layout (one HDF5 group per sample, this framework's writer):
   image  (H, W, 3) uint8
   mask   (H, W)    uint8 (255 = keep)
-  meta   attrs: center (2,), scale_provided (), joints (P, 18, 3)
-The reader also accepts the upstream lineage's "datum" layout (image and
-meta packed together) when present.
+  meta   attrs: center (2,), scale_provided (), joints (P, 18, 3),
+         areas (P,) GT segmentation areas
+
+The reader ALSO parses the upstream lineage's packed-datum layout
+(``py_rmpe_server/generate_hdf5.py``): ``/datum/<key>`` DATASETS (not
+groups) of uint8 (H, W, 4..6) — BGR image + mask_miss channel
+(+ mask_all) — with a JSON ``meta`` attribute carrying ``joints`` (or
+``joint_self``/``joint_others``), ``objpos`` and ``scale_provided``.
+The reference mount was empty when this was built (SURVEY.md section 0),
+so the layout is reconstructed from the lineage; the parser is
+field-tolerant (17-kp COCO joints are converted, missing areas are
+bbox-estimated) and pinned by tests/test_data.py's synthetic
+upstream-layout file.
 """
 
 from __future__ import annotations
@@ -42,7 +52,12 @@ class SampleWriter:
         joints: np.ndarray,
         center: tuple[float, float],
         scale_provided: float,
+        areas: np.ndarray | None = None,
     ) -> None:
+        """``areas``: per-person GT segmentation areas aligned with the
+        leading axis of ``joints`` — OKS evaluation is exponential in
+        area, so real values (COCO ``ann["area"]``) must ride the record
+        (round-1 VERDICT weak #5)."""
         g = self._group.create_group(f"{self._n:07d}")
         g.create_dataset("image", data=np.asarray(image, np.uint8),
                          compression="gzip", compression_opts=1)
@@ -53,6 +68,8 @@ class SampleWriter:
             "scale_provided": float(scale_provided),
             "joints": np.asarray(joints, np.float64).tolist(),
         }
+        if areas is not None:
+            meta["areas"] = np.asarray(areas, np.float64).tolist()
         g.attrs["meta"] = json.dumps(meta)
         self._n += 1
 
@@ -68,7 +85,10 @@ class SampleWriter:
 
 
 def read_samples(path: str, shuffle_seed: int | None = None) -> Iterator[dict]:
-    """Yields raw dicts: image, mask, joints, center, scale_provided."""
+    """Yields raw dicts: image, mask, joints, center, scale_provided, areas.
+
+    Accepts both this framework's group-per-sample layout and the
+    upstream lineage's packed-datum layout (see module docstring)."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -79,14 +99,103 @@ def read_samples(path: str, shuffle_seed: int | None = None) -> Iterator[dict]:
             keys = list(rng.permutation(keys))
         for k in keys:
             g = group[k]
+            if isinstance(g, h5py.Dataset):
+                yield _parse_upstream_datum(g)
+                continue
             meta = json.loads(g.attrs["meta"])
+            joints = np.asarray(meta["joints"], np.float32)
+            if "areas" in meta:
+                areas = np.asarray(meta["areas"], np.float32)
+            else:
+                areas = estimate_areas(joints)
             yield {
                 "image": np.asarray(g["image"], np.uint8),
                 "mask": np.asarray(g["mask"], np.uint8),
-                "joints": np.asarray(meta["joints"], np.float32),
+                "joints": joints,
                 "center": np.asarray(meta["center"], np.float32),
                 "scale_provided": np.float32(meta["scale_provided"]),
+                "areas": areas,
             }
+
+
+def _coerce_joints(raw: np.ndarray) -> np.ndarray:
+    """Upstream joint arrays -> internal (P, 18, 3).
+
+    Handles (18, 3) single person, (P, 18, 3) stacks, and 17-keypoint
+    COCO-order rows (converted with a synthesised neck)."""
+    arr = np.asarray(raw, np.float64)
+    if arr.ndim == 2:
+        arr = arr[None]
+    if arr.shape[1] == 17:
+        from tpupose.data.coco_prep import coco_joints_to_parts
+
+        arr = np.stack(
+            [coco_joints_to_parts(p.reshape(-1).tolist()) for p in arr]
+        ) if arr.shape[0] else np.zeros((0, 18, 3))
+    return arr.astype(np.float32)
+
+
+def _parse_upstream_datum(ds) -> dict:
+    """One upstream packed-datum record -> the raw-sample dict contract."""
+    data = np.asarray(ds, np.uint8)
+    if data.ndim != 3 or data.shape[2] < 4:
+        raise ValueError(
+            f"upstream datum must be (H, W, >=4) uint8, got {data.shape}"
+        )
+    meta = json.loads(ds.attrs["meta"])
+    image = data[:, :, :3]
+    mask = data[:, :, 3]                      # mask_miss channel (255 = keep)
+
+    if "joints" in meta:
+        joints = _coerce_joints(meta["joints"])
+    else:
+        people = [np.asarray(meta["joint_self"], np.float64)]
+        others = meta.get("joint_others") or []
+        if isinstance(others, dict):          # some packers index by id
+            others = list(others.values())
+        people.extend(np.asarray(p, np.float64) for p in others)
+        joints = _coerce_joints(np.stack(people)) if people else np.zeros(
+            (0, 18, 3), np.float32
+        )
+
+    center = meta.get("objpos") or meta.get("center")
+    center = np.asarray(center, np.float32).reshape(-1)[:2]
+
+    areas = [meta.get("segment_area")]
+    other_areas = meta.get("segment_area_other") or []
+    if not isinstance(other_areas, (list, tuple)):
+        other_areas = [other_areas]
+    areas.extend(other_areas)
+    if areas[0] is None or len(areas) != joints.shape[0]:
+        areas_arr = estimate_areas(joints)
+    else:
+        areas_arr = np.asarray(areas, np.float32)
+
+    return {
+        "image": image,
+        "mask": mask,
+        "joints": joints,
+        "center": center,
+        "scale_provided": np.float32(meta["scale_provided"]),
+        "areas": areas_arr,
+    }
+
+
+def estimate_areas(joints: np.ndarray) -> np.ndarray:
+    """Bounding-box-based area estimate for records written without GT
+    areas (pre-round-2 files): ~0.53 * keypoint-bbox area approximates a
+    person's COCO segmentation area. Real areas from ``ann["area"]``
+    should always be preferred — OKS is exponential in area."""
+    joints = np.asarray(joints, np.float64)
+    out = np.zeros((joints.shape[0],), np.float32)
+    for i, j in enumerate(joints):
+        lab = j[j[:, 2] < 2]
+        if len(lab) < 2:
+            continue
+        bw = lab[:, 0].max() - lab[:, 0].min()
+        bh = lab[:, 1].max() - lab[:, 1].min()
+        out[i] = 0.53 * bw * bh
+    return out
 
 
 def pad_sample(
@@ -113,6 +222,9 @@ def pad_sample(
     joints_src = np.asarray(sample["joints"], np.float32).copy()
     center = np.asarray(sample["center"], np.float32).copy()
     scale_provided = float(sample["scale_provided"])
+    areas_src = np.asarray(
+        sample.get("areas", np.zeros((joints_src.shape[0],))), np.float32
+    ).copy()
     if f < 1.0:
         import cv2
 
@@ -123,6 +235,7 @@ def pad_sample(
             joints_src[:, :, :2] *= f
         center *= f
         scale_provided *= f
+        areas_src *= f * f          # area scales quadratically with pixels
         h, w = nh, nw
 
     out_img = np.full((target_h, target_w, 3), 128, np.uint8)
@@ -133,6 +246,8 @@ def pad_sample(
     joints = np.full((max_persons, topology.NUM_PARTS, 3), 2.0, np.float32)
     src = joints_src[:max_persons]
     joints[: src.shape[0]] = src
+    areas = np.zeros((max_persons,), np.float32)
+    areas[: min(len(areas_src), max_persons)] = areas_src[:max_persons]
     off = (
         (joints[:, :, 0] < 0) | (joints[:, :, 0] >= w)
         | (joints[:, :, 1] < 0) | (joints[:, :, 1] >= h)
@@ -145,4 +260,5 @@ def pad_sample(
         "joints": joints,
         "center": center,
         "scale_provided": np.float32(scale_provided),
+        "areas": areas,
     }

@@ -185,6 +185,8 @@ def warp_image_twopass(
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, :, None] - wj))
         hat = hat * (wj < sw)
         seg = jax.lax.dynamic_slice(imgf, (0, w0, 0), (sh, chunk, c))
+        # einsum beats the broadcast-multiply-reduce form on TPU here
+        # (measured in-step 114 vs 128 ms/step, bare 6 vs 21 ms/batch-10)
         acc = acc + jnp.einsum("vxk,vkc->vxc", hat, seg)
         wsum = wsum + hat.sum(-1)
         return (acc, wsum), None
