@@ -1,0 +1,65 @@
+"""Adaptive two-tier decode: the reduced-capacity fast path must be
+bitwise-identical to the full path whenever it is selected, and the
+batched program (one tier choice per batch) must match per-image decode.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+
+from tpupose.config import InferenceConfig
+from tpupose.decode import decode_maps, to_people
+from tpupose.decode.api import decode_impl_batch
+from tpupose.decode.peaks import gaussian_blur
+
+
+def smooth_field(seed, h, w, c, sigma, gain):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(h, w, c)).astype(np.float32)
+    out = np.concatenate(
+        [np.asarray(gaussian_blur(base[:, :, i:i + 1], sigma)) for i in range(c)],
+        axis=-1,
+    )
+    return (out * gain).astype(np.float32)
+
+
+def canon(people):
+    return [
+        (sorted((n, v["x"], v["y"]) for n, v in p["keypoints"].items()),
+         p["num_parts"], round(p["score"], 4))
+        for p in people
+    ]
+
+
+def test_small_tier_identical_to_disabled():
+    """Sparse field (<= 32 peaks/part): small tier == full-capacity path."""
+    heat = smooth_field(3, 96, 96, 19, sigma=8.0, gain=4.0)
+    paf = smooth_field(4, 96, 96, 38, sigma=8.0, gain=3.0)
+    on = InferenceConfig(small_pair_peaks=32)
+    off = dataclasses.replace(on, small_pair_peaks=0)
+    a = jax.device_get(decode_maps(heat, paf, on))
+    b = jax.device_get(decode_maps(heat, paf, off))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_batched_decode_matches_per_image():
+    """Mixed-density batch: the batch-global tier choice must not change
+    results vs per-image decode (dense image forces the big tier)."""
+    cfg = InferenceConfig()
+    heats, pafs = [], []
+    for seed, sigma, gain in ((1, 8.0, 4.0), (2, 3.0, 6.0)):  # sparse + dense
+        heats.append(smooth_field(seed, 96, 96, 19, sigma, gain))
+        pafs.append(smooth_field(seed + 50, 96, 96, 38, sigma, 3.0))
+    heats = np.stack(heats)
+    pafs = np.stack(pafs)
+    batched = jax.device_get(
+        jax.jit(decode_impl_batch, static_argnames="cfg")(heats, pafs, cfg)
+    )
+    for i in range(2):
+        single = jax.device_get(decode_maps(heats[i], pafs[i], cfg))
+        got = to_people({k: np.asarray(v)[i] for k, v in batched.items()})
+        want = to_people(single)
+        assert canon(got) == canon(want), f"image {i}"

@@ -20,27 +20,25 @@ from tpupose.decode import paf as _paf
 from tpupose.decode import peaks as _peaks
 
 
-def decode_impl(
-    heatmap: jnp.ndarray, paf: jnp.ndarray, cfg: InferenceConfig
-) -> dict[str, jnp.ndarray]:
-    """(H, W, 19) heatmap + (H, W, 38) PAF -> fixed-size people tables.
-
-    Pure (un-jitted) implementation — compose under jit/vmap freely.
-    Output dict: rows/score/cnt/valid people tables plus the peak tables
-    (peak_xs/peak_ys/peak_scores) needed to resolve global peak ids.
-    """
+def _find_peaks(heatmap: jnp.ndarray, cfg: InferenceConfig) -> dict[str, jnp.ndarray]:
     from tpupose.ops import use_pallas
 
     if use_pallas():
         from tpupose.ops.pallas_peaks import find_peaks_pallas
 
-        peaks = find_peaks_pallas(
+        return find_peaks_pallas(
             heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
         )
-    else:
-        peaks = _peaks.find_peaks(
-            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
-        )
+    return _peaks.find_peaks(
+        heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
+    )
+
+
+def _post_peaks(
+    paf: jnp.ndarray, peaks: dict[str, jnp.ndarray], cfg: InferenceConfig
+) -> dict[str, jnp.ndarray]:
+    """PAF pair scoring + greedy assembly at the capacity of ``peaks``."""
+    k = peaks["xs"].shape[1]
     conns = _paf.score_limbs(
         paf,
         peaks,
@@ -48,8 +46,8 @@ def decode_impl(
         thre2=cfg.thre2,
         min_ratio=cfg.connect_min_ratio,
     )
-    if cfg.max_connections < cfg.max_peaks:
-        conns = {k: v[:, : cfg.max_connections] for k, v in conns.items()}
+    if cfg.max_connections < k:
+        conns = {key: v[:, : cfg.max_connections] for key, v in conns.items()}
     people = _assemble.assemble(
         peaks,
         conns,
@@ -59,7 +57,83 @@ def decode_impl(
     )
     # kept rows are compacted to the front in creation order; return the
     # configured output capacity
-    people = {k: v[: cfg.max_people] for k, v in people.items()}
+    return {key: v[: cfg.max_people] for key, v in people.items()}
+
+
+def _remap_rows(rows: jnp.ndarray, from_k: int, to_k: int) -> jnp.ndarray:
+    """Global peak ids part*from_k+slot -> part*to_k+slot (slot < from_k)."""
+    return jnp.where(rows >= 0, (rows // from_k) * to_k + rows % from_k, rows)
+
+
+def _small_k(cfg: InferenceConfig) -> int:
+    """The fast-tier pair capacity, 0 = disabled."""
+    ks = cfg.small_pair_peaks
+    return ks if 0 < ks < cfg.max_peaks else 0
+
+
+def _two_tier_post_peaks(paf, peaks, cfg: InferenceConfig, batched: bool):
+    """Adaptive pair scoring + assembly.
+
+    The K x K x mid_num PAF point gather is the decode's dominant cost on
+    TPU (~360 ms/batch-8 at K=96, measured round 2) and scales O(K^2).
+    When every part channel holds <= small_pair_peaks valid peaks —
+    peaks are score-sorted, so slicing the leading slots keeps them all —
+    the reduced-capacity path scores exactly the same candidate pairs and
+    produces bitwise-identical people. A runtime ``lax.cond`` picks the
+    tier; in the batched program the cond sits OUTSIDE the vmap (inside
+    it would become a select and execute both tiers).
+    """
+    ks = _small_k(cfg)
+    post = (
+        jax.vmap(lambda p, pk: _post_peaks(p, pk, cfg))
+        if batched
+        else (lambda p, pk: _post_peaks(p, pk, cfg))
+    )
+    if ks == 0:
+        return post(paf, peaks)
+
+    def small(paf):
+        sliced = {key: v[..., :ks] for key, v in peaks.items()}
+        people = post(paf, sliced)
+        return {
+            **people,
+            "rows": _remap_rows(people["rows"], ks, cfg.max_peaks),
+        }
+
+    def big(paf):
+        return post(paf, peaks)
+
+    counts = peaks["valid"].sum(axis=-1)
+    return jax.lax.cond(counts.max() <= ks, small, big, paf)
+
+
+def decode_impl(
+    heatmap: jnp.ndarray, paf: jnp.ndarray, cfg: InferenceConfig
+) -> dict[str, jnp.ndarray]:
+    """(H, W, 19) heatmap + (H, W, 38) PAF -> fixed-size people tables.
+
+    Pure (un-jitted) implementation — compose under jit freely. Under
+    vmap the internal lax.cond degrades to executing both tiers; use
+    ``decode_impl_batch`` for batched maps instead. Output dict:
+    rows/score/cnt/valid people tables plus the peak tables
+    (peak_xs/peak_ys/peak_scores) needed to resolve global peak ids.
+    """
+    peaks = _find_peaks(heatmap, cfg)
+    people = _two_tier_post_peaks(paf, peaks, cfg, batched=False)
+    return {
+        **people,
+        "peak_xs": peaks["xs"],
+        "peak_ys": peaks["ys"],
+        "peak_scores": peaks["scores"],
+    }
+
+
+def decode_impl_batch(
+    heatmaps: jnp.ndarray, pafs: jnp.ndarray, cfg: InferenceConfig
+) -> dict[str, jnp.ndarray]:
+    """Batched decode with ONE adaptive tier choice for the whole batch."""
+    peaks = jax.vmap(lambda h: _find_peaks(h, cfg))(heatmaps)
+    people = _two_tier_post_peaks(pafs, peaks, cfg, batched=True)
     return {
         **people,
         "peak_xs": peaks["xs"],
@@ -69,14 +143,7 @@ def decode_impl(
 
 
 decode_maps = jax.jit(decode_impl, static_argnames=("cfg",))
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def decode_maps_batch(
-    heatmaps: jnp.ndarray, pafs: jnp.ndarray, cfg: InferenceConfig
-) -> dict[str, jnp.ndarray]:
-    """Batched decode: (N, H, W, 19) + (N, H, W, 38) -> batched tables."""
-    return jax.vmap(lambda h, p: decode_impl(h, p, cfg))(heatmaps, pafs)
+decode_maps_batch = jax.jit(decode_impl_batch, static_argnames=("cfg",))
 
 
 def to_people(result: dict[str, np.ndarray]) -> list[dict]:

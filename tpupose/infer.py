@@ -29,7 +29,7 @@ import numpy as np
 from tpupose import topology
 from tpupose.config import DEFAULT, PoseConfig
 from tpupose.decode import to_people
-from tpupose.decode.api import decode_impl
+from tpupose.decode.api import decode_impl, decode_impl_batch
 from tpupose.models import OpenPose, weights as weights_lib
 from tpupose.ops import image as image_ops
 
@@ -153,9 +153,9 @@ class PoseEstimator:
                         lambda m: up(m, rh, rw))(heat) / ns
                     paf_avg = paf_avg + jax.vmap(
                         lambda m: up(m, rh, rw))(paf) / ns
-                return jax.vmap(lambda h, p: decode_impl(h, p, icfg))(
-                    heat_avg, paf_avg
-                )
+                # one batch-level adaptive tier choice (NOT vmap of the
+                # per-image decode: its lax.cond would become a select)
+                return decode_impl_batch(heat_avg, paf_avg, icfg)
 
             self._fns[key] = run
         return self._fns[key]

@@ -35,6 +35,7 @@ def _gt_kernel(
     sigma: float,
     paf_thre: float,
     joints_ref,   # (18, 3) this person's joints, VMEM
+    mask_ref,     # (L, L) miss-mask, VMEM
     heat_ref,     # (19, L, L) out block, revisited across persons
     paf_ref,      # (38, L, L) out block, revisited across persons
     fg_ref,       # (L, L) scratch: running max over parts/persons
@@ -103,12 +104,16 @@ def _gt_kernel(
         paf_ref[2 * k + 1, :, :] = paf_ref[2 * k + 1, :, :] + band * uy
         count_ref[k, :, :] = count_ref[k, :, :] + band
 
-    # --- finalise on the last person ----------------------------------------
+    # --- finalise on the last person: count-average PAFs, background,
+    # and the miss-mask multiply, all fused in this VMEM residency ------------
     @pl.when(person == n_persons - 1)
     def _finish():
-        heat_ref[topology.NUM_PARTS, :, :] = 1.0 - fg_ref[:, :]
+        m = mask_ref[:, :]
+        heat_ref[topology.NUM_PARTS, :, :] = (1.0 - fg_ref[:, :]) * m
+        for part in range(topology.NUM_PARTS):
+            heat_ref[part, :, :] = heat_ref[part, :, :] * m
         for k in range(topology.NUM_LIMBS):
-            inv = 1.0 / jnp.maximum(count_ref[k, :, :], 1.0)
+            inv = m / jnp.maximum(count_ref[k, :, :], 1.0)
             paf_ref[2 * k, :, :] = paf_ref[2 * k, :, :] * inv
             paf_ref[2 * k + 1, :, :] = paf_ref[2 * k + 1, :, :] * inv
 
@@ -137,6 +142,8 @@ def create_labels_pallas(
         in_specs=[
             pl.BlockSpec((None, None, topology.NUM_PARTS, 3),
                          lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, l, l), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, topology.NUM_HEAT_CHANNELS, l, l),
@@ -153,8 +160,6 @@ def create_labels_pallas(
             pltpu.VMEM((topology.NUM_LIMBS, l, l), jnp.float32),  # counts
         ],
         interpret=interpret,
-    )(joints.astype(jnp.float32))
+    )(joints.astype(jnp.float32), mask.astype(jnp.float32))
 
-    heat = jnp.moveaxis(heat, 1, -1) * mask[..., None]
-    paf = jnp.moveaxis(paf, 1, -1) * mask[..., None]
-    return paf, heat
+    return jnp.moveaxis(paf, 1, -1), jnp.moveaxis(heat, 1, -1)

@@ -93,9 +93,9 @@ def make_train_step(
         )
         if "weight" in batch:  # mesh-padded batches: zero out padded rows
             label_mask = label_mask * batch["weight"][:, None, None]
-        from tpupose.ops import use_pallas
+        from tpupose.ops import use_pallas_gt
 
-        if use_pallas():
+        if use_pallas_gt():
             from tpupose.ops.pallas_gt import create_labels_pallas as _labels
         else:
             _labels = gt_rasterize.create_labels
