@@ -241,7 +241,7 @@ def cmd_convert_weights(args) -> int:
     )
     dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
-    params, missing = weights_lib.load_keras_h5(args.weights, params)
+    params, missing = weights_lib.load_reference_weights(args.weights, params)
     if missing:
         print(f"warning: {len(missing)} layers missing from h5: {missing[:3]}...",
               file=sys.stderr)

@@ -34,30 +34,66 @@ def _find_peaks(heatmap: jnp.ndarray, cfg: InferenceConfig) -> dict[str, jnp.nda
     )
 
 
+# Greedy-scan fast tier: when every limb has at most this many candidate
+# pairs passing the PAF criteria, a scan of this length enumerates ALL of
+# them — provably identical to the full-length scan (extra slots hold
+# -inf and are never accepted). The 512-step scan was ~39 of the 75 ms
+# PAF stage at K=32 (measured round 2).
+_GREEDY_FAST_CAP = 128
+
+
 def _post_peaks(
-    paf: jnp.ndarray, peaks: dict[str, jnp.ndarray], cfg: InferenceConfig
+    paf: jnp.ndarray,
+    peaks: dict[str, jnp.ndarray],
+    cfg: InferenceConfig,
+    batched: bool,
 ) -> dict[str, jnp.ndarray]:
-    """PAF pair scoring + greedy assembly at the capacity of ``peaks``."""
-    k = peaks["xs"].shape[1]
-    conns = _paf.score_limbs(
-        paf,
-        peaks,
-        mid_num=cfg.mid_num,
-        thre2=cfg.thre2,
-        min_ratio=cfg.connect_min_ratio,
+    """PAF pair scoring + greedy assembly at the capacity of ``peaks``.
+
+    The sequential greedy scan's length adapts at runtime (lax.cond,
+    outside any vmap) to the number of passing candidate pairs."""
+    k = peaks["xs"].shape[-1]
+    max_conn = min(cfg.max_connections, k)
+    cap_full = min(512, k * k)
+    cap_fast = min(_GREEDY_FAST_CAP, cap_full)
+
+    def p1(paf, pk):
+        return _paf.pair_scores(
+            paf, pk, mid_num=cfg.mid_num, thre2=cfg.thre2,
+            min_ratio=cfg.connect_min_ratio,
+        )
+
+    prior, ok, n_a, n_b = (
+        jax.vmap(p1)(paf, peaks) if batched else p1(paf, peaks)
     )
-    if cfg.max_connections < k:
-        conns = {key: v[:, : cfg.max_connections] for key, v in conns.items()}
-    people = _assemble.assemble(
-        peaks,
-        conns,
-        max_people=max(cfg.max_people, cfg.scan_people_capacity),
-        min_cnt=cfg.min_subset_cnt,
-        min_score=cfg.min_subset_score,
+
+    def run(cap):
+        def one(prior, ok, na, nb, pk):
+            conns = _paf.greedy_all(prior, ok, na, nb, max_conn, cap)
+            people = _assemble.assemble(
+                pk,
+                conns,
+                max_people=max(cfg.max_people, cfg.scan_people_capacity),
+                min_cnt=cfg.min_subset_cnt,
+                min_score=cfg.min_subset_score,
+            )
+            # kept rows are compacted to the front in creation order;
+            # return the configured output capacity
+            return {key: v[: cfg.max_people] for key, v in people.items()}
+
+        if batched:
+            return jax.vmap(one)(prior, ok, n_a, n_b, peaks)
+        return one(prior, ok, n_a, n_b, peaks)
+
+    if cap_fast >= cap_full:
+        return run(cap_full)
+    max_ok_per_limb = ok.sum(axis=(-2, -1)).max()
+    return jax.lax.cond(
+        max_ok_per_limb <= cap_fast,
+        lambda _: run(cap_fast),
+        lambda _: run(cap_full),
+        None,
     )
-    # kept rows are compacted to the front in creation order; return the
-    # configured output capacity
-    return {key: v[: cfg.max_people] for key, v in people.items()}
 
 
 def _remap_rows(rows: jnp.ndarray, from_k: int, to_k: int) -> jnp.ndarray:
@@ -84,24 +120,19 @@ def _two_tier_post_peaks(paf, peaks, cfg: InferenceConfig, batched: bool):
     it would become a select and execute both tiers).
     """
     ks = _small_k(cfg)
-    post = (
-        jax.vmap(lambda p, pk: _post_peaks(p, pk, cfg))
-        if batched
-        else (lambda p, pk: _post_peaks(p, pk, cfg))
-    )
     if ks == 0:
-        return post(paf, peaks)
+        return _post_peaks(paf, peaks, cfg, batched)
 
     def small(paf):
         sliced = {key: v[..., :ks] for key, v in peaks.items()}
-        people = post(paf, sliced)
+        people = _post_peaks(paf, sliced, cfg, batched)
         return {
             **people,
             "rows": _remap_rows(people["rows"], ks, cfg.max_peaks),
         }
 
     def big(paf):
-        return post(paf, peaks)
+        return _post_peaks(paf, peaks, cfg, batched)
 
     counts = peaks["valid"].sum(axis=-1)
     return jax.lax.cond(counts.max() <= ks, small, big, paf)

@@ -118,26 +118,21 @@ def _greedy_accept(prior, ok, n_a, n_b, max_conn: int, scan_cap: int):
     return out_a, out_b, out_s, out_v
 
 
-@partial(jax.jit, static_argnames=("mid_num", "thre2", "min_ratio", "scan_cap"))
-def score_limbs(
+def pair_scores(
     paf: jnp.ndarray,          # (H, W, 38)
     peaks: dict[str, jnp.ndarray],
     mid_num: int = 10,
     thre2: float = 0.05,
     min_ratio: float = 0.8,
-    scan_cap: int = 512,
-) -> dict[str, jnp.ndarray]:
-    """All-limb connection tables in decode order.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Phase 1 (the gather): all-limb pair tables.
 
-    Returns dict of (19, K) arrays: a_slot, b_slot (peak slots within the
-    endpoint part channels), score, valid — acceptance-ordered per limb.
+    Returns (prior (19, K, K), ok (19, K, K), n_a (19,), n_b (19,)).
     """
     part_pairs, paf_chans = topology.decode_limb_tables()
     part_pairs = jnp.asarray(part_pairs)
     paf_chans = jnp.asarray(paf_chans)
-
     h = paf.shape[0]
-    k = peaks["xs"].shape[1]
 
     xs_a = peaks["xs"][part_pairs[:, 0]]     # (19, K)
     ys_a = peaks["ys"][part_pairs[:, 0]]
@@ -158,11 +153,43 @@ def score_limbs(
             paf_xy, ax, ay, asc, av, bx, by, bsc, bv,
             mid_num, thre2, min_ratio, float(h),
         )
-        n_a = av.sum().astype(jnp.int32)
-        n_b = bv.sum().astype(jnp.int32)
-        return _greedy_accept(prior, ok, n_a, n_b, k, scan_cap)
+        return prior, ok, av.sum().astype(jnp.int32), bv.sum().astype(jnp.int32)
 
-    out_a, out_b, out_s, out_v = jax.vmap(one_limb)(
+    return jax.vmap(one_limb)(
         paf_limb, xs_a, ys_a, sc_a, va_a, xs_b, ys_b, sc_b, va_b
     )
+
+
+def greedy_all(
+    prior: jnp.ndarray,        # (19, K, K)
+    ok: jnp.ndarray,
+    n_a: jnp.ndarray,
+    n_b: jnp.ndarray,
+    max_conn: int,
+    scan_cap: int,
+) -> dict[str, jnp.ndarray]:
+    """Phase 2: greedy acceptance per limb (sequential scan of the
+    top-``scan_cap`` score-sorted candidates)."""
+    out_a, out_b, out_s, out_v = jax.vmap(
+        lambda p, o, na, nb: _greedy_accept(p, o, na, nb, max_conn, scan_cap)
+    )(prior, ok, n_a, n_b)
     return {"a_slot": out_a, "b_slot": out_b, "score": out_s, "valid": out_v}
+
+
+@partial(jax.jit, static_argnames=("mid_num", "thre2", "min_ratio", "scan_cap"))
+def score_limbs(
+    paf: jnp.ndarray,          # (H, W, 38)
+    peaks: dict[str, jnp.ndarray],
+    mid_num: int = 10,
+    thre2: float = 0.05,
+    min_ratio: float = 0.8,
+    scan_cap: int = 512,
+) -> dict[str, jnp.ndarray]:
+    """All-limb connection tables in decode order.
+
+    Returns dict of (19, K) arrays: a_slot, b_slot (peak slots within the
+    endpoint part channels), score, valid — acceptance-ordered per limb.
+    """
+    k = peaks["xs"].shape[1]
+    prior, ok, n_a, n_b = pair_scores(paf, peaks, mid_num, thre2, min_ratio)
+    return greedy_all(prior, ok, n_a, n_b, k, scan_cap)

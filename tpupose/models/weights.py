@@ -66,10 +66,32 @@ def load_keras_h5(path: str, params: Any) -> tuple[Any, list[str]]:
     a genuinely different architecture, not a naming drift.
     """
     import h5py
-    import jax
 
     with h5py.File(path, "r") as f:
         layers = _h5_layer_weights(f)
+    return _overlay_layers(layers, params)
+
+
+def load_caffemodel(path: str, params: Any) -> tuple[Any, list[str]]:
+    """Overlay an original Caffe ``.caffemodel`` (the CMU release format)
+    onto a flax param tree — the lineage kept the Caffe layer names in
+    the Keras port, so both formats share the name map (SURVEY.md C3)."""
+    from tpupose.models.caffe import caffemodel_layers
+
+    return _overlay_layers(caffemodel_layers(path), params)
+
+
+def load_reference_weights(path: str, params: Any) -> tuple[Any, list[str]]:
+    """Format-dispatching loader: ``.caffemodel`` or Keras ``.h5``."""
+    if path.endswith(".caffemodel"):
+        return load_caffemodel(path, params)
+    return load_keras_h5(path, params)
+
+
+def _overlay_layers(
+    layers: dict[str, dict[str, np.ndarray]], params: Any
+) -> tuple[Any, list[str]]:
+    import jax
 
     missing: list[str] = []
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -103,9 +125,10 @@ def load_keras_h5(path: str, params: Any) -> tuple[Any, list[str]]:
 
 
 def maybe_load_pretrained(params: Any, path: str | None) -> tuple[Any, bool]:
-    """Load reference weights if a file exists; otherwise return params as-is."""
+    """Load reference weights (.h5 or .caffemodel) if a file exists;
+    otherwise return params as-is."""
     if path and os.path.exists(path):
-        new_params, missing = load_keras_h5(path, params)
+        new_params, missing = load_reference_weights(path, params)
         if missing:
             raise ValueError(f"pretrained file {path} missing layers: {missing[:5]}...")
         return new_params, True
