@@ -14,6 +14,7 @@ triple python loop), and the order-sensitive greedy accept is a masked
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,6 +22,49 @@ import jax.numpy as jnp
 
 from tpupose import topology
 
+
+def _paf_sampler() -> str:
+    """How midpoint values are read out of the PAF map.
+
+    ``gather`` — the literal ``paf[iy, ix]`` advanced-index. XLA lowers
+    it to serialized scalar gathers on TPU: ~36 ms/batch-8 at K=32 and
+    O(K^2) beyond (measured round 2) — the decode's dominant cost.
+
+    ``onehot`` — the TPU-native formulation: point sampling is a
+    one-hot row-selection matmul on the MXU (exact: each output sums one
+    1.0*value product at HIGHEST precision), so the whole K x K x M
+    integral rides the systolic array instead of the gather unit. Default
+    on every non-CPU backend; CPU keeps the gather (fast there, and the
+    twin-parity suites run on CPU).
+    """
+    s = os.environ.get("TPUPOSE_PAF_SAMPLER")
+    if s in ("gather", "onehot"):
+        return s
+    return "gather" if jax.default_backend() == "cpu" else "onehot"
+
+
+def _sample_points_onehot(paf_xy: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
+    """Exact ``paf_xy[iy, ix]`` via two one-hot contractions (MXU).
+
+    paf_xy (H, W, 2); iy/ix int32 of any shape S -> (*S, 2). The row
+    selection is a (P, H) @ (H, W*2) matmul at HIGHEST precision (the
+    single nonzero product is 1.0 * value, so the result is bit-exact);
+    the column selection is a masked reduce over W on the VPU.
+    """
+    h, w = paf_xy.shape[0], paf_xy.shape[1]
+    shape = iy.shape
+    iyf = iy.reshape(-1)
+    ixf = ix.reshape(-1)
+    p = iyf.shape[0]
+    oh_y = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, h), 1) == iyf[:, None]
+    ).astype(paf_xy.dtype)
+    rows = jax.lax.dot(
+        oh_y, paf_xy.reshape(h, w * 2), precision=jax.lax.Precision.HIGHEST
+    ).reshape(p, w, 2)
+    oh_x = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1) == ixf[:, None]
+    out = jnp.where(oh_x[:, :, None], rows, 0.0).sum(axis=1)
+    return out.reshape(*shape, 2)
 
 
 def _limb_pair_scores(
@@ -46,14 +90,28 @@ def _limb_pair_scores(
     uy = dy / norm_safe
 
     t = jnp.linspace(0.0, 1.0, mid_num)                 # (M,)
-    mx = axf[:, None, None] + dx[:, :, None] * t        # (K, K, M)
-    my = ayf[:, None, None] + dy[:, :, None] * t
-    ix = jnp.round(mx).astype(jnp.int32)
-    iy = jnp.round(my).astype(jnp.int32)
-    ix = jnp.clip(ix, 0, paf_xy.shape[1] - 1)
-    iy = jnp.clip(iy, 0, paf_xy.shape[0] - 1)
-
-    sampled = paf_xy[iy, ix]                            # (K, K, M, 2)
+    if _paf_sampler() == "onehot":
+        # Per-midpoint one-hot matmul sampling: never materialises the
+        # (K*K*M)-point one-hots at once (measured faster than a single
+        # fused matmul over all midpoints: 4.1 vs 5.1 ms/batch-8 at
+        # K=32, 32 vs 40 ms at K=96), and all the arithmetic rides the
+        # MXU. Values are bit-identical to the gather path.
+        mids = []
+        for m in range(mid_num):
+            mx = axf[:, None] + dx * t[m]               # (K, K)
+            my = ayf[:, None] + dy * t[m]
+            ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, paf_xy.shape[1] - 1)
+            iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, paf_xy.shape[0] - 1)
+            mids.append(_sample_points_onehot(paf_xy, iy, ix))
+        sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
+    else:
+        mx = axf[:, None, None] + dx[:, :, None] * t    # (K, K, M)
+        my = ayf[:, None, None] + dy[:, :, None] * t
+        ix = jnp.round(mx).astype(jnp.int32)
+        iy = jnp.round(my).astype(jnp.int32)
+        ix = jnp.clip(ix, 0, paf_xy.shape[1] - 1)
+        iy = jnp.clip(iy, 0, paf_xy.shape[0] - 1)
+        sampled = paf_xy[iy, ix]                        # (K, K, M, 2)
     score_mid = sampled[..., 0] * ux[:, :, None] + sampled[..., 1] * uy[:, :, None]
 
     mean = score_mid.mean(axis=-1)
