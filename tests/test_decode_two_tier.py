@@ -37,12 +37,27 @@ def test_small_tier_identical_to_disabled():
     """Sparse field (<= 32 peaks/part): small tier == full-capacity path."""
     heat = smooth_field(3, 96, 96, 19, sigma=8.0, gain=4.0)
     paf = smooth_field(4, 96, 96, 38, sigma=8.0, gain=3.0)
-    on = InferenceConfig(small_pair_peaks=32)
-    off = dataclasses.replace(on, small_pair_peaks=0)
+    on = InferenceConfig(pair_tiers=(32,))
+    off = dataclasses.replace(on, pair_tiers=())
     a = jax.device_get(decode_maps(heat, paf, on))
     b = jax.device_get(decode_maps(heat, paf, off))
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_micro_tier_identical_across_tier_sets():
+    """Very sparse field: (8, 32) tiers == (32,) == disabled, bitwise."""
+    heat = smooth_field(7, 96, 96, 19, sigma=12.0, gain=3.0)
+    paf = smooth_field(8, 96, 96, 38, sigma=8.0, gain=3.0)
+    results = []
+    for tiers in ((8, 32), (32,), ()):
+        cfg = InferenceConfig(pair_tiers=tiers)
+        results.append(jax.device_get(decode_maps(heat, paf, cfg)))
+    for other in results[1:]:
+        for k in results[0]:
+            np.testing.assert_array_equal(
+                np.asarray(results[0][k]), np.asarray(other[k]), err_msg=k
+            )
 
 
 def test_batched_decode_matches_per_image():

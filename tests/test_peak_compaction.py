@@ -1,0 +1,90 @@
+"""Scan-order peak compaction (cumsum + one-hot matmul) contract.
+
+The TPU path fills peak tables by prefix-sum slot assignment instead of
+``lax.top_k`` (k-independent full sort, ~30 ms/batch-8 on the chip —
+round 2). The compaction must (a) produce exactly the finite entries of
+the masked score map, (b) in row-major scan order — the reference's
+``np.nonzero`` ordering (reference_impl/decode_np.py::find_peaks_np) —
+(c) with exact coordinates and scores, and (d) agree with the ``topk``
+mode on the peak *set* whenever the capacity holds it.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpupose.decode.peaks import compact_peaks, peak_tables
+
+
+def _masked_scores(rng, c=18, h=46, w=46, density=0.01):
+    vals = rng.random((c, h * w)).astype(np.float32) + 0.1
+    mask = rng.random((c, h * w)) < density
+    return np.where(mask, vals, -np.inf).astype(np.float32)
+
+
+def test_compaction_matches_nonzero_scan_order():
+    rng = np.random.default_rng(0)
+    w = 46
+    scores = _masked_scores(rng)
+    got = compact_peaks(jnp.asarray(scores), w, 96)
+    for c in range(scores.shape[0]):
+        (idx,) = np.nonzero(np.isfinite(scores[c]))
+        n = len(idx)
+        assert int(np.asarray(got["valid"])[c].sum()) == n
+        np.testing.assert_array_equal(np.asarray(got["xs"])[c, :n], idx % w)
+        np.testing.assert_array_equal(np.asarray(got["ys"])[c, :n], idx // w)
+        np.testing.assert_array_equal(
+            np.asarray(got["scores"])[c, :n], scores[c, idx]
+        )
+        # invalid tail is zeroed
+        np.testing.assert_array_equal(np.asarray(got["scores"])[c, n:], 0.0)
+
+
+def test_compaction_set_equals_topk(monkeypatch):
+    rng = np.random.default_rng(1)
+    w = 46
+    scores = _masked_scores(rng, density=0.02)
+    monkeypatch.setenv("TPUPOSE_PEAK_SLOTS", "scan")
+    a = peak_tables(jnp.asarray(scores), w, 96)
+    monkeypatch.setenv("TPUPOSE_PEAK_SLOTS", "topk")
+    b = peak_tables(jnp.asarray(scores), w, 96)
+    for c in range(scores.shape[0]):
+        sa = {
+            (int(x), int(y), float(s))
+            for x, y, s, v in zip(
+                np.asarray(a["xs"])[c], np.asarray(a["ys"])[c],
+                np.asarray(a["scores"])[c], np.asarray(a["valid"])[c],
+            )
+            if v
+        }
+        sb = {
+            (int(x), int(y), float(s))
+            for x, y, s, v in zip(
+                np.asarray(b["xs"])[c], np.asarray(b["ys"])[c],
+                np.asarray(b["scores"])[c], np.asarray(b["valid"])[c],
+            )
+            if v
+        }
+        assert sa == sb
+
+
+def test_compaction_overflow_keeps_first_k_in_scan_order():
+    w = 10
+    c, n, k = 1, 100, 4
+    scores = np.full((c, n), -np.inf, np.float32)
+    hits = [3, 17, 20, 41, 77, 98]
+    scores[0, hits] = np.arange(len(hits), dtype=np.float32) + 1.0
+    got = compact_peaks(jnp.asarray(scores), w, k)
+    assert np.asarray(got["valid"])[0].all()
+    np.testing.assert_array_equal(
+        np.asarray(got["xs"])[0], np.asarray(hits[:k]) % w
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["scores"])[0], np.asarray([1.0, 2.0, 3.0, 4.0])
+    )
+
+
+def test_compaction_empty():
+    scores = np.full((18, 46 * 46), -np.inf, np.float32)
+    got = compact_peaks(jnp.asarray(scores), 46, 96)
+    assert not np.asarray(got["valid"]).any()
+    np.testing.assert_array_equal(np.asarray(got["scores"]), 0.0)

@@ -59,12 +59,13 @@ class InferenceConfig:
     # the scan table is full, further seeds are dropped (the reference's
     # dynamic list has no cap; fuzz parity holds within this capacity).
     scan_people_capacity: int = 256
-    # Adaptive fast path: when EVERY part channel has at most this many
-    # peaks (true for all real scenes; COCO crowds top out around ~20),
-    # PAF pair scoring + assembly run at this capacity — bitwise
-    # identical results, ~4x less gather/scan work (the K x K pair grid
-    # costs O(K^2)). A runtime lax.cond picks the path; 0 disables.
-    small_pair_peaks: int = 32
+    # Adaptive fast tiers: when EVERY part channel has at most `t` peaks
+    # for some tier capacity `t` (typical scenes hold <= 8; COCO crowds
+    # top out around ~20), PAF pair scoring + assembly run at the
+    # smallest adequate capacity — bitwise identical results, since the
+    # K x K pair grid costs O(K^2) and peaks fill the leading slots.
+    # Runtime lax.conds pick the tier; () disables (always max_peaks).
+    pair_tiers: tuple[int, ...] = (8, 32)
     # Greedy acceptance packs valid connections into the leading slots, so
     # capping the per-limb table truncates only beyond this many people.
     # Default equals max_peaks (no truncation within capacity); deployments

@@ -101,41 +101,55 @@ def _remap_rows(rows: jnp.ndarray, from_k: int, to_k: int) -> jnp.ndarray:
     return jnp.where(rows >= 0, (rows // from_k) * to_k + rows % from_k, rows)
 
 
-def _small_k(cfg: InferenceConfig) -> int:
-    """The fast-tier pair capacity, 0 = disabled."""
-    ks = cfg.small_pair_peaks
-    return ks if 0 < ks < cfg.max_peaks else 0
+def _tier_caps(cfg: InferenceConfig) -> tuple[int, ...]:
+    """Ascending reduced pair capacities below max_peaks; () = disabled."""
+    return tuple(sorted({t for t in cfg.pair_tiers if 0 < t < cfg.max_peaks}))
 
 
 def _two_tier_post_peaks(paf, peaks, cfg: InferenceConfig, batched: bool):
-    """Adaptive pair scoring + assembly.
+    """Adaptive multi-tier pair scoring + assembly.
 
-    The K x K x mid_num PAF point gather is the decode's dominant cost on
-    TPU (~360 ms/batch-8 at K=96, measured round 2) and scales O(K^2).
-    When every part channel holds <= small_pair_peaks valid peaks —
-    peaks are score-sorted, so slicing the leading slots keeps them all —
-    the reduced-capacity path scores exactly the same candidate pairs and
-    produces bitwise-identical people. A runtime ``lax.cond`` picks the
-    tier; in the batched program the cond sits OUTSIDE the vmap (inside
-    it would become a select and execute both tiers).
+    The K x K x mid_num PAF point readout is the decode's dominant cost
+    on TPU and scales O(K^2) (round 2: ~360 ms/batch-8 at K=96 via
+    gather on full-res maps; ~40 ms at K=32). When every part channel
+    holds <= `t` valid peaks for a tier capacity `t` — peak slots are
+    compacted to the front, so slicing the leading `t` keeps them all —
+    the reduced-capacity path scores exactly the same candidate pairs
+    and produces bitwise-identical people. Nested runtime ``lax.cond``s
+    pick the smallest adequate tier (typical scenes fit the K=8 micro
+    tier: 64 candidate pairs/limb instead of 9216); in the batched
+    program the conds sit OUTSIDE the vmap (inside they would become
+    selects and execute every tier).
     """
-    ks = _small_k(cfg)
-    if ks == 0:
+    caps = _tier_caps(cfg)
+    if not caps:
         return _post_peaks(paf, peaks, cfg, batched)
 
-    def small(paf):
-        sliced = {key: v[..., :ks] for key, v in peaks.items()}
-        people = _post_peaks(paf, sliced, cfg, batched)
-        return {
-            **people,
-            "rows": _remap_rows(people["rows"], ks, cfg.max_peaks),
-        }
+    def at_tier(ks):
+        def run(paf):
+            sliced = {key: v[..., :ks] for key, v in peaks.items()}
+            people = _post_peaks(paf, sliced, cfg, batched)
+            return {
+                **people,
+                "rows": _remap_rows(people["rows"], ks, cfg.max_peaks),
+            }
+
+        return run
 
     def big(paf):
         return _post_peaks(paf, peaks, cfg, batched)
 
-    counts = peaks["valid"].sum(axis=-1)
-    return jax.lax.cond(counts.max() <= ks, small, big, paf)
+    max_count = peaks["valid"].sum(axis=-1).max()
+    chain = big
+    for ks in reversed(caps):
+        chain = partial(
+            lambda ks, inner, paf: jax.lax.cond(
+                max_count <= ks, at_tier(ks), inner, paf
+            ),
+            ks,
+            chain,
+        )
+    return chain(paf)
 
 
 def decode_impl(

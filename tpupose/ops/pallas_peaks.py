@@ -5,7 +5,7 @@ and needs three derived quantities: the sigma=3-smoothed map, the
 4-neighbour local-max test, and the thresholded scores. As separate XLA
 ops each materialises an (H, W) intermediate in HBM; this kernel keeps
 one part channel resident in VMEM and emits only the masked score map
-(-inf off-peak), which feeds straight into ``lax.top_k``.
+(-inf off-peak), which feeds the scan-order slot compaction.
 
 Grid: one program per part channel. Each program:
   1. loads its (H, W) channel into VMEM,
@@ -116,13 +116,8 @@ def find_peaks_pallas(
 
     parts = heatmap[:, :, : topology.NUM_PARTS]
     h, w = parts.shape[0], parts.shape[1]
+    from tpupose.decode.peaks import peak_tables
+
     scores = peak_scores_pallas(parts, sigma=sigma, thre1=thre1, interpret=interpret)
     flat = scores.reshape(scores.shape[0], h * w)        # (18, H*W)
-    top_scores, top_idx = jax.lax.top_k(flat, max_peaks)
-    valid = jnp.isfinite(top_scores)
-    return {
-        "xs": (top_idx % w).astype(jnp.int32),
-        "ys": (top_idx // w).astype(jnp.int32),
-        "scores": jnp.where(valid, top_scores, 0.0).astype(jnp.float32),
-        "valid": valid,
-    }
+    return peak_tables(flat, w, max_peaks)
