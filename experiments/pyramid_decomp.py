@@ -1,6 +1,9 @@
 """Decompose the batched 4-scale product program: forwards vs upsample/avg
 vs decode (batch 8, 368^2, real chip). Decides whether low-res PAF
-sampling (skip the 38-channel x8 upsample) is worth the refactor."""
+sampling (skip the 38-channel x8 upsample) is worth the refactor.
+
+Axon-relay gotcha: block_until_ready returns at dispatch-ack, not
+completion — every measurement must fetch a value (device_get)."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -24,10 +27,6 @@ icfg = DEFAULT.inference
 model = OpenPose(num_stages=mcfg.num_stages, dtype=jnp.bfloat16)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32))["params"]
 sizes = image_ops.scale_sizes(H, W, icfg.scale_search, mcfg.boxsize, mcfg.stride)
-print("backend:", jax.default_backend(), "sizes:", sizes, flush=True)
-
-image, _, _ = synthetic_scene()
-imgs = jnp.asarray(np.stack([image] * N))
 
 
 def fwd_scales(params, imgs_u8, upsample: bool, avg_decode: bool):
@@ -49,7 +48,8 @@ def fwd_scales(params, imgs_u8, upsample: bool, avg_decode: bool):
     if not upsample:
         return acc
     if avg_decode:
-        return decode_impl_batch(heat_avg, paf_avg, icfg)
+        out = decode_impl_batch(heat_avg, paf_avg, icfg)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
     return jnp.sum(heat_avg) + jnp.sum(paf_avg)
 
 
@@ -59,12 +59,21 @@ variants = {
     "full (fwd+up+decode)": jax.jit(lambda p, x: fwd_scales(p, x, True, True)),
 }
 
-for label, fn in variants.items():
-    out = jax.block_until_ready(fn(params, imgs))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, imgs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{label:32s} {dt*1e3:8.1f} ms/batch-{N}  ({N/dt:6.1f} img/s)", flush=True)
+
+def main():
+    print("backend:", jax.default_backend(), "sizes:", sizes, flush=True)
+    image, _, _ = synthetic_scene()
+    base = np.stack([image] * N)
+    batches = [jnp.asarray((base + 7 * i) % 255) for i in range(10)]
+    for label, fn in variants.items():
+        float(jax.device_get(fn(params, batches[0])))  # warm + force
+        t0 = time.perf_counter()
+        for b in batches:
+            out = fn(params, b)
+        _ = float(jax.device_get(out))
+        dt = (time.perf_counter() - t0) / len(batches)
+        print(f"{label:32s} {dt*1e3:8.1f} ms/batch-{N}  ({N/dt:6.1f} img/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,14 @@ class InferenceConfig:
     # K x K pair grid costs O(K^2) and peaks fill the leading slots.
     # Runtime lax.conds pick the tier; () disables (always max_peaks).
     pair_tiers: tuple[int, ...] = (8, 32)
+    # How the decode reads PAF values at the line-integral sample points:
+    # "scalespace" evaluates the scale-averaged bilinear pyramid directly
+    # on the per-scale low-res network outputs (never materialises the
+    # 38-channel full-res upsample; see decode/scalespace.py),
+    # "fullres" samples the materialised averaged map (the reference's
+    # literal dataflow). Same sample points, same interpolant; values
+    # differ only by ~bf16 eps (scalespace accumulates in f32).
+    paf_readout: str = "scalespace"
     # Greedy acceptance packs valid connections into the leading slots, so
     # capping the per-limb table truncates only beyond this many people.
     # Default equals max_peaks (no truncation within capacity); deployments

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupose import topology
+from tpupose.decode.scalespace import ScaleSpace, sample_avg
 
 
 def _paf_sampler() -> str:
@@ -68,7 +69,8 @@ def _sample_points_onehot(paf_xy: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray)
 
 
 def _limb_pair_scores(
-    paf_xy: jnp.ndarray,      # (H, W, 2) this limb's PAF channels
+    paf_xy,                   # (H, W, 2) this limb's PAF channels, or a
+                              # per-limb ScaleSpace of low-res (Hl, Wl, 2)
     ax, ay, asc, avalid,      # (K,) candidate A table
     bx, by, bsc, bvalid,      # (K,) candidate B table
     mid_num: int,
@@ -90,7 +92,23 @@ def _limb_pair_scores(
     uy = dy / norm_safe
 
     t = jnp.linspace(0.0, 1.0, mid_num)                 # (M,)
-    if _paf_sampler() == "onehot":
+    if isinstance(paf_xy, ScaleSpace):
+        # Scale-space readout: evaluate the scale-averaged chained
+        # bilinear directly on the low-res per-scale maps (linearity —
+        # see decode/scalespace.py). Same rounded integer sample points
+        # as the materialised paths; values are the f32 evaluation of
+        # the same interpolant (~bf16 eps from the bf16-materialised
+        # pipeline, closer to the reference's f32 arithmetic).
+        out_h, out_w = paf_xy.out_hw
+        mids = []
+        for m in range(mid_num):
+            mx = axf[:, None] + dx * t[m]               # (K, K)
+            my = ayf[:, None] + dy * t[m]
+            ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
+            iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
+            mids.append(sample_avg(paf_xy, iy, ix))
+        sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
+    elif _paf_sampler() == "onehot":
         # Per-midpoint one-hot matmul sampling: never materialises the
         # (K*K*M)-point one-hots at once (measured faster than a single
         # fused matmul over all midpoints: 4.1 vs 5.1 ms/batch-8 at
@@ -176,21 +194,30 @@ def _greedy_accept(prior, ok, n_a, n_b, max_conn: int, scan_cap: int):
     return out_a, out_b, out_s, out_v
 
 
+def _limb_channels(paf: jnp.ndarray, paf_chans) -> jnp.ndarray:
+    """(H, W, 38) -> (19, H, W, 2) per-limb channel pairs."""
+    stacked = jnp.stack(
+        [paf[:, :, paf_chans[:, 0]], paf[:, :, paf_chans[:, 1]]], axis=-1
+    )                                         # (H, W, 19, 2)
+    return jnp.moveaxis(stacked, 2, 0)        # (19, H, W, 2)
+
+
 def pair_scores(
-    paf: jnp.ndarray,          # (H, W, 38)
+    paf,                       # (H, W, 38), or a ScaleSpace of low-res maps
     peaks: dict[str, jnp.ndarray],
     mid_num: int = 10,
     thre2: float = 0.05,
     min_ratio: float = 0.8,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Phase 1 (the gather): all-limb pair tables.
+    """Phase 1 (the point readout): all-limb pair tables.
 
     Returns (prior (19, K, K), ok (19, K, K), n_a (19,), n_b (19,)).
     """
     part_pairs, paf_chans = topology.decode_limb_tables()
     part_pairs = jnp.asarray(part_pairs)
     paf_chans = jnp.asarray(paf_chans)
-    h = paf.shape[0]
+    scale_space = isinstance(paf, ScaleSpace)
+    h = paf.out_hw[0] if scale_space else paf.shape[0]
 
     xs_a = peaks["xs"][part_pairs[:, 0]]     # (19, K)
     ys_a = peaks["ys"][part_pairs[:, 0]]
@@ -201,10 +228,10 @@ def pair_scores(
     sc_b = peaks["scores"][part_pairs[:, 1]]
     va_b = peaks["valid"][part_pairs[:, 1]]
 
-    paf_limb = jnp.stack(
-        [paf[:, :, paf_chans[:, 0]], paf[:, :, paf_chans[:, 1]]], axis=-1
-    )                                         # (H, W, 19, 2)
-    paf_limb = jnp.moveaxis(paf_limb, 2, 0)   # (19, H, W, 2)
+    if scale_space:
+        paf_limb = paf.map_scales(lambda m: _limb_channels(m, paf_chans))
+    else:
+        paf_limb = _limb_channels(paf, paf_chans)   # (19, H, W, 2)
 
     def one_limb(paf_xy, ax, ay, asc, av, bx, by, bsc, bv):
         prior, ok, _ = _limb_pair_scores(

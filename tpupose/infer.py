@@ -30,6 +30,7 @@ from tpupose import topology
 from tpupose.config import DEFAULT, PoseConfig
 from tpupose.decode import to_people
 from tpupose.decode.api import decode_impl, decode_impl_batch
+from tpupose.decode.scalespace import ScaleSpace
 from tpupose.models import OpenPose, weights as weights_lib
 from tpupose.ops import image as image_ops
 
@@ -94,11 +95,14 @@ class PoseEstimator:
             icfg = self.cfg.inference
             sizes = image_ops.pyramid_sizes(icfg, mcfg, in_h, in_w)
 
+            use_ss = icfg.paf_readout == "scalespace"
+
             @jax.jit
             def run(params, img_u8):
                 x0 = image_ops.normalize(img_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
+                paf_scales = []
                 n = float(len(sizes))
                 for rh, rw, _, _ in sizes:
                     x = image_ops.resize_bilinear(x0, rh, rw)
@@ -106,9 +110,19 @@ class PoseEstimator:
                     paf, heat = model.apply({"params": params}, x[None])[-1]
                     heat_avg = heat_avg + image_ops.upsample_to(
                         heat, rh, rw, in_h, in_w, mcfg.stride) / n
-                    paf_avg = paf_avg + image_ops.upsample_to(
-                        paf, rh, rw, in_h, in_w, mcfg.stride) / n
-                return decode_impl(heat_avg, paf_avg, icfg)
+                    if use_ss:
+                        paf_scales.append(paf[0])
+                    else:
+                        paf_avg = paf_avg + image_ops.upsample_to(
+                            paf, rh, rw, in_h, in_w, mcfg.stride) / n
+                paf_in = (
+                    ScaleSpace(
+                        paf_scales, [s[:2] for s in sizes], (in_h, in_w)
+                    )
+                    if use_ss
+                    else paf_avg
+                )
+                return decode_impl(heat_avg, paf_in, icfg)
 
             self._fns[key] = run
         return self._fns[key]
@@ -134,11 +148,14 @@ class PoseEstimator:
                 in_h, in_w, scales, mcfg.boxsize, mcfg.stride
             )
 
+            use_ss = icfg.paf_readout == "scalespace"
+
             @jax.jit
             def run(params, imgs_u8):
                 x0 = image_ops.normalize(imgs_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((n, in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((n, in_h, in_w, topology.NUM_PAF_CHANNELS))
+                paf_scales = []
                 ns = float(len(sizes))
                 up = lambda m, rh, rw: image_ops.upsample_to(   # noqa: E731
                     m[None], rh, rw, in_h, in_w, mcfg.stride
@@ -151,11 +168,21 @@ class PoseEstimator:
                     paf, heat = model.apply({"params": params}, x)[-1]
                     heat_avg = heat_avg + jax.vmap(
                         lambda m: up(m, rh, rw))(heat) / ns
-                    paf_avg = paf_avg + jax.vmap(
-                        lambda m: up(m, rh, rw))(paf) / ns
+                    if use_ss:
+                        paf_scales.append(paf)      # (N, ph/8, pw/8, 38)
+                    else:
+                        paf_avg = paf_avg + jax.vmap(
+                            lambda m: up(m, rh, rw))(paf) / ns
+                paf_in = (
+                    ScaleSpace(
+                        paf_scales, [s[:2] for s in sizes], (in_h, in_w)
+                    )
+                    if use_ss
+                    else paf_avg
+                )
                 # one batch-level adaptive tier choice (NOT vmap of the
                 # per-image decode: its lax.cond would become a select)
-                return decode_impl_batch(heat_avg, paf_avg, icfg)
+                return decode_impl_batch(heat_avg, paf_in, icfg)
 
             self._fns[key] = run
         return self._fns[key]

@@ -22,13 +22,18 @@ from tpupose.config import InferenceConfig, ModelConfig
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Half-pixel-centre bilinear resize, cv2.INTER_LINEAR semantics.
 
+    ``antialias=False``: cv2.INTER_LINEAR always uses the 2-tap kernel,
+    even when downscaling (verified to float eps against cv2 both ways);
+    jax's antialiased default widens the kernel on downscale and diverges
+    from the reference by up to ~0.24 on heatmap-valued data.
+
     Works on (H, W, C) or (N, H, W, C).
     """
     if img.ndim == 3:
         shape = (out_h, out_w, img.shape[2])
     else:
         shape = (img.shape[0], out_h, out_w, img.shape[3])
-    return jax.image.resize(img, shape, method="linear")
+    return jax.image.resize(img, shape, method="linear", antialias=False)
 
 
 def pad_right_down(
