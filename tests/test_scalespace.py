@@ -161,6 +161,65 @@ def test_decode_scalespace_batched_matches_fullres():
             )
 
 
+def test_pyramid_heat_maps_matches_materialised():
+    """Weight-matrix avg/blur == materialised upsample+avg and blur(avg)."""
+    from tpupose.decode.peaks import gaussian_blur
+    from tpupose.decode.scalespace import pyramid_heat_maps
+
+    rng = np.random.default_rng(2)
+    maps = _low_maps(rng, c=3)
+    space = ScaleSpace(
+        [jnp.asarray(m) for m in maps], [s[:2] for s in SIZES], (368, 368)
+    )
+    avg, blur = pyramid_heat_maps(space, sigma=3.0)
+    want_avg = _materialise(maps)
+    want_blur = gaussian_blur(want_avg, 3.0)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(want_avg), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(blur), np.asarray(want_blur), atol=3e-5)
+
+
+def test_find_peaks_scalespace_matches_materialised():
+    from tpupose.decode import peaks as PK
+
+    heats, _ = _scene(7)
+    heat_avg = _materialise(heats)
+    space = ScaleSpace(
+        [jnp.asarray(m) for m in heats], [s[:2] for s in SIZES], (368, 368)
+    )
+    a = jax.device_get(PK.find_peaks(heat_avg, 96, 3.0, 0.1))
+    b = jax.device_get(PK.find_peaks_scalespace(space, 96, 3.0, 0.1))
+    for k in a:
+        if k == "scores":   # f32 matmul vs resize rounding: ~1 ulp
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5, err_msg=k
+            )
+        else:               # NMS structure must match exactly
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
+def test_decode_heat_and_paf_scalespace_matches_fullres():
+    heats, pafs = _scene(21)
+    heat_avg = _materialise(heats)
+    paf_avg = _materialise(pafs)
+    geoms = [s[:2] for s in SIZES]
+    heat_space = ScaleSpace([jnp.asarray(m) for m in heats], geoms, (368, 368))
+    paf_space = ScaleSpace([jnp.asarray(m) for m in pafs], geoms, (368, 368))
+    cfg = InferenceConfig()
+    a = jax.device_get(decode_impl(heat_avg, paf_avg, cfg))
+    b = jax.device_get(decode_impl(heat_space, paf_space, cfg))
+    for k in a:
+        if np.asarray(a[k]).dtype.kind == "f":
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-4, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
 def test_estimator_product_path_runs_scalespace():
     """PoseEstimator._batch_fn with the default (scalespace) readout and
     the fullres readout agree on a synthetic image (random-init weights:

@@ -144,7 +144,8 @@ def get_baseline(cache_path: str) -> dict:
         return json.load(f)
 
 
-BATCH = 8
+BATCH = 8           # 4-scale pyramid: larger batches go transfer-bound
+BATCH_SINGLE = 16   # single-scale: compute is light, batching amortises
 N_BATCHES = 24
 
 
@@ -182,7 +183,8 @@ def main(baseline_cache: str | None = None):
     # headline: the reference's product path — the full 4-scale pyramid,
     # batched + pipelined (round-1 VERDICT missing #1 / weak #10)
     ips4 = _measure_stream(est, batch, None, 2, 8)
-    ips1 = _measure_stream(est, batch, (1.0,), N_WARMUP, N_BATCHES)
+    batch1 = np.stack([image] * BATCH_SINGLE)
+    ips1 = _measure_stream(est, batch1, (1.0,), N_WARMUP, N_BATCHES)
 
     baseline = get_baseline(baseline_cache or DEFAULT_BASELINE_CACHE)
     base4_ips = 1.0 / baseline["reference_cpu_latency_4scale_s"]

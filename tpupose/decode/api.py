@@ -20,9 +20,18 @@ from tpupose.decode import paf as _paf
 from tpupose.decode import peaks as _peaks
 
 
-def _find_peaks(heatmap: jnp.ndarray, cfg: InferenceConfig) -> dict[str, jnp.ndarray]:
+def _find_peaks(heatmap, cfg: InferenceConfig) -> dict[str, jnp.ndarray]:
+    from tpupose.decode.scalespace import ScaleSpace
     from tpupose.ops import use_pallas
 
+    if isinstance(heatmap, ScaleSpace):
+        # per-scale low-res inputs: the averaged map + its blur are
+        # weight-matrix matmuls; no full-res map exists for the Pallas
+        # blur kernel to consume (and none is needed)
+        return _peaks.find_peaks_scalespace(
+            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma,
+            thre1=cfg.thre1,
+        )
     if use_pallas():
         from tpupose.ops.pallas_peaks import find_peaks_pallas
 

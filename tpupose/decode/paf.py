@@ -92,6 +92,15 @@ def _limb_pair_scores(
     uy = dy / norm_safe
 
     t = jnp.linspace(0.0, 1.0, mid_num)                 # (M,)
+    k = axf.shape[0]
+    # The one-hot row-selection matmul materialises a (K*K, W, 2) f32
+    # intermediate per limb (x batch under vmap). At the K=96 fallback
+    # tier on full-res maps that is ~7.7 GB for a batch of 16 — an HBM
+    # OOM. Beyond this area budget the (rare, dense-crowd) tier uses the
+    # gather sampler instead; values are bit-identical either way.
+    onehot_ok = (
+        isinstance(paf_xy, ScaleSpace) or k * k * paf_xy.shape[1] <= 1024 * 1024
+    )
     if isinstance(paf_xy, ScaleSpace):
         # Scale-space readout: evaluate the scale-averaged chained
         # bilinear directly on the low-res per-scale maps (linearity —
@@ -108,7 +117,7 @@ def _limb_pair_scores(
             iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
             mids.append(sample_avg(paf_xy, iy, ix))
         sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
-    elif _paf_sampler() == "onehot":
+    elif _paf_sampler() == "onehot" and onehot_ok:
         # Per-midpoint one-hot matmul sampling: never materialises the
         # (K*K*M)-point one-hots at once (measured faster than a single
         # fused matmul over all midpoints: 4.1 vs 5.1 ms/batch-8 at

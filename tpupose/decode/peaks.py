@@ -149,9 +149,18 @@ def find_peaks(
     (the reference's ``np.nonzero`` ordering); see ``_slot_mode``.
     """
     parts = heatmap[:, :, : topology.NUM_PARTS]
-    h, w = parts.shape[0], parts.shape[1]
     smooth = gaussian_blur(parts, sigma)
+    return nms_tables(parts, smooth, max_peaks, thre1)
 
+
+def nms_tables(
+    parts: jnp.ndarray,     # (H, W, 18) unsmoothed averaged map (scores)
+    smooth: jnp.ndarray,    # (H, W, 18) sigma-blurred map (NMS field)
+    max_peaks: int,
+    thre1: float,
+) -> dict[str, jnp.ndarray]:
+    """4-neighbour local-max NMS + threshold -> fixed-capacity tables."""
+    h, w = parts.shape[0], parts.shape[1]
     z = jnp.zeros_like(smooth)
     up = jnp.concatenate([z[:1], smooth[:-1]], axis=0)      # shifted down
     down = jnp.concatenate([smooth[1:], z[:1]], axis=0)     # shifted up
@@ -169,3 +178,24 @@ def find_peaks(
     scores = jnp.where(is_peak, parts, -jnp.inf)            # (H, W, 18)
     flat = scores.reshape(h * w, -1).T                      # (18, H*W)
     return peak_tables(flat, w, max_peaks)
+
+
+def find_peaks_scalespace(
+    space,                  # ScaleSpace of per-scale low-res heat outputs
+    max_peaks: int = 96,
+    sigma: float = 3.0,
+    thre1: float = 0.1,
+) -> dict[str, jnp.ndarray]:
+    """Peak tables straight from the per-scale low-res heat maps.
+
+    The averaged full-res map and its blur are computed as per-scale
+    constant-weight-matrix matmuls (``scalespace.pyramid_heat_maps``) —
+    the four per-scale upsamples and the 25-tap blur conv are never
+    materialised. Same NMS/threshold/compaction tail as ``find_peaks``;
+    values match the materialised pipeline to f32 matmul rounding.
+    """
+    from tpupose.decode.scalespace import pyramid_heat_maps
+
+    parts_space = space.map_scales(lambda m: m[..., : topology.NUM_PARTS])
+    parts, smooth = pyramid_heat_maps(parts_space, sigma)
+    return nms_tables(parts, smooth, max_peaks, thre1)

@@ -142,6 +142,103 @@ def sample_chain(
     return out.reshape(*shape, c)
 
 
+def _linear_resize_matrix(n_out: int, n_in: int) -> "np.ndarray":
+    """(n_out, n_in) weights of a half-pixel-centre 2-tap linear resize
+    (cv2.INTER_LINEAR / jax.image.resize(antialias=False) semantics;
+    clamped edge taps accumulate)."""
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        j0 = int(np.floor(src))
+        f = src - j0
+        m[i, min(max(j0, 0), n_in - 1)] += 1.0 - f
+        m[i, min(max(j0 + 1, 0), n_in - 1)] += f
+    return m
+
+
+def resize_chain_matrix(size_low: int, rh: int, out_size: int,
+                        stride: int = 8) -> "np.ndarray":
+    """(out_size, size_low) f32 matrix of ``upsample_to`` along one axis:
+    x``stride`` bilinear -> crop to ``rh`` -> bilinear to ``out_size``.
+    The whole chain is linear, so it IS a matrix; building it once at
+    trace time turns the per-scale upsample into an MXU matmul."""
+    import numpy as np
+
+    w1 = _linear_resize_matrix(size_low * stride, size_low)[:rh]
+    w2 = _linear_resize_matrix(out_size, rh)
+    return np.asarray(w2 @ w1, np.float32)
+
+
+def gaussian_reflect_matrix(size: int, sigma: float) -> "np.ndarray":
+    """(size, size) f32 matrix of the scipy-'reflect' gaussian blur along
+    one axis (numpy 'symmetric' border: d c b a | a b c d | d c b a)."""
+    import numpy as np
+
+    from tpupose.decode.peaks import gaussian_kernel1d
+
+    k = gaussian_kernel1d(sigma).astype(np.float64)
+    r = (len(k) - 1) // 2
+    m = np.zeros((size, size), np.float64)
+    for i in range(size):
+        for t in range(-r, r + 1):
+            j = i + t
+            while j < 0 or j >= size:
+                if j < 0:
+                    j = -1 - j
+                if j >= size:
+                    j = 2 * size - 1 - j
+            m[i, j] += k[t + r]
+    return m.astype(np.float32)
+
+
+def pyramid_heat_maps(
+    space: ScaleSpace, sigma: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(averaged, blurred-averaged) full-res maps from per-scale low-res.
+
+    The peaks stage needs two (H, W, C) maps: the scale-averaged heatmap
+    (peak scores) and its sigma-blurred version (NMS). Upsample, average
+    and blur are all linear, so both are per-scale products with
+    CONSTANT weight matrices:
+
+        avg  = sum_s  Wy_s @ M_s @ Wx_s^T / n
+        blur = sum_s (G @ Wy_s) @ M_s @ (G @ Wx_s)^T / n
+
+    — a handful of small MXU matmuls per scale instead of materialising
+    four per-scale full-res upsamples and a 25-tap separable conv.
+    Accepts (Hl, Wl, C) or batched (N, Hl, Wl, C) maps.
+    """
+    out_h, out_w = space.out_hw
+    n = float(len(space.maps))
+    gy = gaussian_reflect_matrix(out_h, sigma)
+    gx = gaussian_reflect_matrix(out_w, sigma)
+    avg = None
+    blur = None
+    for m, (rh, rw) in zip(space.maps, space.geoms):
+        hl, wl = m.shape[-3], m.shape[-2]
+        wy = resize_chain_matrix(hl, rh, out_h)
+        wx = resize_chain_matrix(wl, rw, out_w)
+        m32 = m.astype(jnp.float32)
+
+        def apply(left, right, x=m32):
+            return jnp.einsum(
+                "yh,...hwc,xw->...yxc",
+                jnp.asarray(left),
+                x,
+                jnp.asarray(right),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        a = apply(wy, wx) / n
+        b = apply(gy @ wy, gx @ wx) / n
+        avg = a if avg is None else avg + a
+        blur = b if blur is None else blur + b
+    return avg, blur
+
+
 def sample_avg(space: ScaleSpace, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """Scale-averaged pyramid value at integer image coords (iy, ix).
 

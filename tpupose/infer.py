@@ -102,27 +102,30 @@ class PoseEstimator:
                 x0 = image_ops.normalize(img_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((in_h, in_w, topology.NUM_PAF_CHANNELS))
-                paf_scales = []
+                heat_scales, paf_scales = [], []
                 n = float(len(sizes))
                 for rh, rw, _, _ in sizes:
                     x = image_ops.resize_bilinear(x0, rh, rw)
                     x, _ = image_ops.pad_right_down(x, mcfg.stride, image_ops.PAD_NORM)
                     paf, heat = model.apply({"params": params}, x[None])[-1]
-                    heat_avg = heat_avg + image_ops.upsample_to(
-                        heat, rh, rw, in_h, in_w, mcfg.stride) / n
                     if use_ss:
+                        heat_scales.append(heat[0])
                         paf_scales.append(paf[0])
                     else:
+                        heat_avg = heat_avg + image_ops.upsample_to(
+                            heat, rh, rw, in_h, in_w, mcfg.stride) / n
                         paf_avg = paf_avg + image_ops.upsample_to(
                             paf, rh, rw, in_h, in_w, mcfg.stride) / n
-                paf_in = (
-                    ScaleSpace(
-                        paf_scales, [s[:2] for s in sizes], (in_h, in_w)
-                    )
-                    if use_ss
-                    else paf_avg
+                geoms = [s[:2] for s in sizes]
+                heat_in = (
+                    ScaleSpace(heat_scales, geoms, (in_h, in_w))
+                    if use_ss else heat_avg
                 )
-                return decode_impl(heat_avg, paf_in, icfg)
+                paf_in = (
+                    ScaleSpace(paf_scales, geoms, (in_h, in_w))
+                    if use_ss else paf_avg
+                )
+                return decode_impl(heat_in, paf_in, icfg)
 
             self._fns[key] = run
         return self._fns[key]
@@ -155,7 +158,7 @@ class PoseEstimator:
                 x0 = image_ops.normalize(imgs_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((n, in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((n, in_h, in_w, topology.NUM_PAF_CHANNELS))
-                paf_scales = []
+                heat_scales, paf_scales = [], []
                 ns = float(len(sizes))
                 up = lambda m, rh, rw: image_ops.upsample_to(   # noqa: E731
                     m[None], rh, rw, in_h, in_w, mcfg.stride
@@ -166,23 +169,26 @@ class PoseEstimator:
                         x, mcfg.stride, image_ops.PAD_NORM
                     )
                     paf, heat = model.apply({"params": params}, x)[-1]
-                    heat_avg = heat_avg + jax.vmap(
-                        lambda m: up(m, rh, rw))(heat) / ns
                     if use_ss:
+                        heat_scales.append(heat)    # (N, ph/8, pw/8, 19)
                         paf_scales.append(paf)      # (N, ph/8, pw/8, 38)
                     else:
+                        heat_avg = heat_avg + jax.vmap(
+                            lambda m: up(m, rh, rw))(heat) / ns
                         paf_avg = paf_avg + jax.vmap(
                             lambda m: up(m, rh, rw))(paf) / ns
+                geoms = [s[:2] for s in sizes]
+                heat_in = (
+                    ScaleSpace(heat_scales, geoms, (in_h, in_w))
+                    if use_ss else heat_avg
+                )
                 paf_in = (
-                    ScaleSpace(
-                        paf_scales, [s[:2] for s in sizes], (in_h, in_w)
-                    )
-                    if use_ss
-                    else paf_avg
+                    ScaleSpace(paf_scales, geoms, (in_h, in_w))
+                    if use_ss else paf_avg
                 )
                 # one batch-level adaptive tier choice (NOT vmap of the
                 # per-image decode: its lax.cond would become a select)
-                return decode_impl_batch(heat_avg, paf_in, icfg)
+                return decode_impl_batch(heat_in, paf_in, icfg)
 
             self._fns[key] = run
         return self._fns[key]

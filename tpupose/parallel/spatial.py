@@ -94,16 +94,12 @@ class SpatialPoseEstimator:
 
             @jax.jit
             def decode(heats, pafs):
-                n = float(len(sizes))
-                heat_avg = 0.0
-                for (rh, rw, _, _), h in zip(sizes, heats):
-                    heat_avg = heat_avg + image_ops.upsample_to(
-                        h, rh, rw, in_h, in_w, mcfg.stride
-                    ) / n
-                space = ScaleSpace(
-                    list(pafs), [s[:2] for s in sizes], (in_h, in_w)
+                geoms = [s[:2] for s in sizes]
+                heat_space = ScaleSpace(
+                    [h[0] for h in heats], geoms, (in_h, in_w)
                 )
-                return decode_impl(heat_avg, space, icfg)
+                paf_space = ScaleSpace(list(pafs), geoms, (in_h, in_w))
+                return decode_impl(heat_space, paf_space, icfg)
 
             self._fns[key] = (sizes, decode)
         return self._fns[key]
