@@ -220,6 +220,63 @@ def test_decode_heat_and_paf_scalespace_matches_fullres():
             )
 
 
+def test_decode_scalespace_fuzz_random_fields():
+    """Random smooth fields, 6 seeds: scalespace decode == fullres decode
+    (people structure exact, floats to 1e-4)."""
+    cfg = InferenceConfig()
+    geoms = [s[:2] for s in SIZES]
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        heats = _low_maps(rng, c=19)
+        pafs = _low_maps(rng, c=38)
+        heat_avg = _materialise(heats)
+        paf_avg = _materialise(pafs)
+        hs = ScaleSpace([jnp.asarray(m) for m in heats], geoms, (368, 368))
+        ps = ScaleSpace([jnp.asarray(m) for m in pafs], geoms, (368, 368))
+        a = jax.device_get(decode_impl(heat_avg, paf_avg, cfg))
+        b = jax.device_get(decode_impl(hs, ps, cfg))
+        for k in a:
+            if np.asarray(a[k]).dtype.kind == "f":
+                np.testing.assert_allclose(
+                    np.asarray(a[k]), np.asarray(b[k]), atol=1e-4,
+                    err_msg=f"seed {seed}: {k}",
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k]), np.asarray(b[k]),
+                    err_msg=f"seed {seed}: {k}",
+                )
+
+
+def test_scalespace_nonsquare_geometry():
+    """Non-square input (H != W): per-axis chain matrices and point taps
+    must track each axis's own geometry."""
+    h, w = 240, 368
+    sizes = image_ops.scale_sizes(h, w, (0.5, 1.0, 1.5), 368, 8)
+    rng = np.random.default_rng(9)
+    maps = []
+    for rh, rw, ph, pw in sizes:
+        maps.append(rng.normal(size=(ph // 8, pw // 8, 2)).astype(np.float32))
+    pts = np.stack([rng.integers(0, h, 97), rng.integers(0, w, 97)])
+    iy = jnp.asarray(pts[0], jnp.int32)
+    ix = jnp.asarray(pts[1], jnp.int32)
+    space = ScaleSpace(
+        [jnp.asarray(m) for m in maps], [s[:2] for s in sizes], (h, w)
+    )
+    avg = None
+    for (rh, rw, _, _), m in zip(sizes, maps):
+        full = image_ops.upsample_to(jnp.asarray(m)[None], rh, rw, h, w, 8)
+        avg = full / 3 if avg is None else avg + full / 3
+    want = np.asarray(avg)[pts[0], pts[1]]
+    got = np.asarray(sample_avg(space, iy, ix))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+    from tpupose.decode.scalespace import pyramid_heat_maps
+
+    a, b = pyramid_heat_maps(space, sigma=3.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(avg), atol=3e-5)
+
+
 def test_estimator_product_path_runs_scalespace():
     """PoseEstimator._batch_fn with the default (scalespace) readout and
     the fullres readout agree on a synthetic image (random-init weights:
