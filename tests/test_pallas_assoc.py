@@ -1,0 +1,128 @@
+"""Fused association kernel (ops/pallas_assoc.py) parity vs the lax path.
+
+The kernel must reproduce the order-sensitive greedy accept + assembly
+EXACTLY (same tie-breaks, same accumulation order) — the lax.scan
+implementation is the oracle (itself twin-parity-tested against the
+reference algorithm). Runs in interpret mode on the CPU suite.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpupose import topology
+from tpupose.config import InferenceConfig
+from tpupose.decode import assemble as ASM
+from tpupose.decode import paf as PF
+from tpupose.ops.pallas_assoc import assoc_pallas
+
+
+def _random_problem(rng, b, k, density):
+    prior = rng.normal(size=(b, 19, k, k)).astype(np.float32)
+    ok = rng.random((b, 19, k, k)) < density
+    n_a = rng.integers(1, k + 1, (b, 19)).astype(np.int32)
+    n_b = rng.integers(1, k + 1, (b, 19)).astype(np.int32)
+    scores = rng.random((b, 18, k)).astype(np.float32)
+    return prior, ok, n_a, n_b, scores
+
+
+def _lax_people(prior, ok, n_a, n_b, scores, k, cap, max_conn, p, cfg):
+    def one(pr, o, na, nb, sc):
+        conns = PF.greedy_all(pr, o, na, nb, max_conn, cap)
+        peaks = {"scores": sc, "xs": jnp.zeros((18, k), jnp.int32),
+                 "ys": jnp.zeros((18, k), jnp.int32),
+                 "valid": jnp.ones((18, k), bool)}
+        return ASM.assemble(peaks, conns, max_people=p,
+                            min_cnt=cfg.min_subset_cnt,
+                            min_score=cfg.min_subset_score)
+
+    return jax.vmap(one)(prior, ok, n_a, n_b, scores)
+
+
+def _pallas_people(prior, ok, n_a, n_b, scores, k, cap, max_conn, p, cfg):
+    b = prior.shape[0]
+    part_pairs, _ = topology.decode_limb_tables()
+    pp = jnp.asarray(part_pairs)
+    flat = jnp.where(ok, prior, -jnp.inf).reshape(b, 19, k * k)
+    ts, idx = jax.lax.top_k(flat, cap)
+    ta = idx // k
+    tb = idx % k
+    sa = jnp.take_along_axis(scores[:, pp[:, 0]], ta, axis=-1)
+    sb = jnp.take_along_axis(scores[:, pp[:, 1]], tb, axis=-1)
+    raw = assoc_pallas(
+        ts, ta, tb, sa, sb, jnp.minimum(n_a, n_b),
+        k_slots=k, n_conn=max_conn, max_people=p, interpret=True,
+    )
+    return ASM.cull_and_compact(
+        raw["rows"], raw["score"], raw["cnt"], raw["active"], raw["stamp"],
+        cfg.min_subset_cnt, cfg.min_subset_score,
+    )
+
+
+def _compare(a, b, msg):
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]), msg)
+    np.testing.assert_array_equal(np.asarray(a["rows"]), np.asarray(b["rows"]), msg)
+    np.testing.assert_array_equal(np.asarray(a["cnt"]), np.asarray(b["cnt"]), msg)
+    np.testing.assert_allclose(
+        np.asarray(a["score"]), np.asarray(b["score"]), atol=1e-5, err_msg=msg
+    )
+
+
+def test_assoc_kernel_matches_lax_random():
+    cfg = InferenceConfig()
+    p = 64
+    for seed, k, density in [(0, 8, 0.15), (1, 8, 0.6), (2, 16, 0.08),
+                             (3, 8, 0.95), (4, 16, 0.3)]:
+        rng = np.random.default_rng(seed)
+        prior, ok, n_a, n_b, scores = _random_problem(rng, 2, k, density)
+        cap = min(128, k * k)
+        max_conn = k
+        args = (jnp.asarray(prior), jnp.asarray(ok), jnp.asarray(n_a),
+                jnp.asarray(n_b), jnp.asarray(scores), k, cap, max_conn, p, cfg)
+        want = jax.device_get(_lax_people(*args))
+        got = jax.device_get(_pallas_people(*args))
+        _compare(got, want, f"seed={seed} k={k} density={density}")
+
+
+def test_assoc_decode_end_to_end(monkeypatch):
+    """decode_impl with the kernel path (interpret) == lax path on a
+    2-person synthetic scene."""
+    import cv2
+
+    import tpupose.ops as ops_mod
+    from tpupose.decode.api import decode_impl
+    from tpupose.reference_impl import gt_np
+
+    def person(cx, cy, s=120.0):
+        rel = {
+            "nose": (0.0, -0.95), "neck": (0.0, -0.65),
+            "Rsho": (-0.30, -0.65), "Relb": (-0.42, -0.30), "Rwri": (-0.45, 0.05),
+            "Lsho": (0.30, -0.65), "Lelb": (0.42, -0.30), "Lwri": (0.45, 0.05),
+            "Rhip": (-0.18, 0.10), "Rkne": (-0.20, 0.55), "Rank": (-0.20, 0.95),
+            "Lhip": (0.18, 0.10), "Lkne": (0.20, 0.55), "Lank": (0.20, 0.95),
+            "Reye": (-0.08, -1.02), "Leye": (0.08, -1.02),
+            "Rear": (-0.17, -0.98), "Lear": (0.17, -0.98),
+        }
+        out = np.zeros((18, 3))
+        for name, (dx, dy) in rel.items():
+            out[topology.PART_INDEX[name]] = (cx + dx * s, cy + dy * s * 0.5, 0.0)
+        return out
+
+    joints = np.stack([person(120.0, 200.0), person(255.0, 180.0)])
+    labels = gt_np.create_heatmaps_np(joints)
+    heat = cv2.resize(labels[:, :, 38:], (368, 368), interpolation=cv2.INTER_CUBIC)
+    paf = cv2.resize(labels[:, :, :38], (368, 368), interpolation=cv2.INTER_CUBIC)
+    cfg = InferenceConfig()
+
+    want = jax.device_get(decode_impl(jnp.asarray(heat), jnp.asarray(paf), cfg))
+    monkeypatch.setattr(ops_mod, "use_pallas_assoc", lambda: True)
+    got = jax.device_get(decode_impl(jnp.asarray(heat), jnp.asarray(paf), cfg))
+    for key in want:
+        if np.asarray(want[key]).dtype.kind == "f":
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(want[key]), atol=1e-5, err_msg=key
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=key
+            )

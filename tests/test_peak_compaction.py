@@ -83,6 +83,33 @@ def test_compaction_overflow_keeps_first_k_in_scan_order():
     )
 
 
+def test_tiered_compaction_matches_full():
+    """peak_tables_tiered == full-capacity compaction (+ zero pad),
+    both when the tier fits and when it overflows to the fallback."""
+    from tpupose.decode.peaks import peak_tables_tiered
+
+    w, k = 46, 96
+    # sparse: <= 16 peaks/channel -> tier selected
+    rng = np.random.default_rng(3)
+    sparse = _masked_scores(rng, density=0.004)
+    a = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(sparse), w, k, (16,)).items()}
+    b = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(sparse), w, k, ()).items()}
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+    # dense: one channel with > 16 peaks -> fallback path
+    dense = sparse.copy()
+    dense[0, :40] = 1.0
+    c = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(dense), w, k, (16,)).items()}
+    d = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(dense), w, k, ()).items()}
+    for key in c:
+        np.testing.assert_array_equal(c[key], d[key], err_msg=key)
+
+
 def test_compaction_empty():
     scores = np.full((18, 46 * 46), -np.inf, np.float32)
     got = compact_peaks(jnp.asarray(scores), 46, 96)

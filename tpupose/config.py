@@ -66,6 +66,13 @@ class InferenceConfig:
     # K x K pair grid costs O(K^2) and peaks fill the leading slots.
     # Runtime lax.conds pick the tier; () disables (always max_peaks).
     pair_tiers: tuple[int, ...] = (8, 32)
+    # Adaptive peak-compaction capacity: the scan-order slot compaction
+    # streams an (H*W, K) one-hot contraction per part channel, so K=96
+    # prices a worst case real scenes never reach. When every channel's
+    # peak count fits a tier, compaction runs at that capacity and the
+    # tables are zero-padded to max_peaks — bitwise identical.
+    # () disables (always max_peaks).
+    peak_compact_tiers: tuple[int, ...] = (16,)
     # How the decode reads PAF values at the line-integral sample points:
     # "scalespace" evaluates the scale-averaged bilinear pyramid directly
     # on the per-scale low-res network outputs (never materialises the

@@ -20,26 +20,49 @@ from tpupose.decode import paf as _paf
 from tpupose.decode import peaks as _peaks
 
 
-def _find_peaks(heatmap, cfg: InferenceConfig) -> dict[str, jnp.ndarray]:
-    from tpupose.decode.scalespace import ScaleSpace
+def _masked_peak_scores(heatmap, cfg: InferenceConfig) -> jnp.ndarray:
+    """Per-image masked peak-score map, (C, H*W) with -inf off-peak.
+
+    Table building (slot compaction) happens OUTSIDE any vmap via
+    ``peaks.peak_tables_tiered`` so its adaptive-capacity cond stays a
+    real branch — this helper is the vmap-safe part."""
+    from tpupose.decode.scalespace import ScaleSpace, pyramid_heat_maps
     from tpupose.ops import use_pallas
 
     if isinstance(heatmap, ScaleSpace):
         # per-scale low-res inputs: the averaged map + its blur are
         # weight-matrix matmuls; no full-res map exists for the Pallas
         # blur kernel to consume (and none is needed)
-        return _peaks.find_peaks_scalespace(
-            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma,
-            thre1=cfg.thre1,
+        parts_space = heatmap.map_scales(
+            lambda m: m[..., : topology.NUM_PARTS]
         )
+        parts, smooth = pyramid_heat_maps(parts_space, cfg.peak_sigma)
+        return _peaks.masked_scores(parts, smooth, cfg.thre1)
+    parts = heatmap[:, :, : topology.NUM_PARTS]
     if use_pallas():
-        from tpupose.ops.pallas_peaks import find_peaks_pallas
+        from tpupose.ops.pallas_peaks import peak_scores_pallas
 
-        return find_peaks_pallas(
-            heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
+        scores = peak_scores_pallas(
+            parts, sigma=cfg.peak_sigma, thre1=cfg.thre1
         )
-    return _peaks.find_peaks(
-        heatmap, max_peaks=cfg.max_peaks, sigma=cfg.peak_sigma, thre1=cfg.thre1
+        return scores.reshape(scores.shape[0], -1)
+    smooth = _peaks.gaussian_blur(parts, cfg.peak_sigma)
+    return _peaks.masked_scores(parts, smooth, cfg.thre1)
+
+
+def _heat_width(heatmap) -> int:
+    """Image width: (H, W, C) / (B, H, W, C) array or ScaleSpace."""
+    from tpupose.decode.scalespace import ScaleSpace
+
+    if isinstance(heatmap, ScaleSpace):
+        return heatmap.out_hw[1]
+    return heatmap.shape[2] if heatmap.ndim == 4 else heatmap.shape[1]
+
+
+def _find_peaks(heatmap, cfg: InferenceConfig) -> dict[str, jnp.ndarray]:
+    flat = _masked_peak_scores(heatmap, cfg)
+    return _peaks.peak_tables_tiered(
+        flat, _heat_width(heatmap), cfg.max_peaks, cfg.peak_compact_tiers
     )
 
 
@@ -52,7 +75,7 @@ _GREEDY_FAST_CAP = 128
 
 
 def _post_peaks(
-    paf: jnp.ndarray,
+    paf,
     peaks: dict[str, jnp.ndarray],
     cfg: InferenceConfig,
     batched: bool,
@@ -60,11 +83,18 @@ def _post_peaks(
     """PAF pair scoring + greedy assembly at the capacity of ``peaks``.
 
     The sequential greedy scan's length adapts at runtime (lax.cond,
-    outside any vmap) to the number of passing candidate pairs."""
+    outside any vmap) to the number of passing candidate pairs. On TPU
+    the two sequential stages (greedy accept + assembly) run in the
+    fused Pallas association kernel (ops/pallas_assoc.py); the lax.scan
+    formulation is the CPU/debug fallback and the parity oracle.
+    """
+    from tpupose.ops import use_pallas_assoc
+
     k = peaks["xs"].shape[-1]
     max_conn = min(cfg.max_connections, k)
     cap_full = min(512, k * k)
     cap_fast = min(_GREEDY_FAST_CAP, cap_full)
+    scan_people = max(cfg.max_people, cfg.scan_people_capacity)
 
     def p1(paf, pk):
         return _paf.pair_scores(
@@ -76,13 +106,42 @@ def _post_peaks(
         jax.vmap(p1)(paf, peaks) if batched else p1(paf, peaks)
     )
 
-    def run(cap):
+    def run_pallas(cap):
+        from tpupose.ops.pallas_assoc import assoc_pallas
+
+        pr, okb, nab, nbb = (
+            (prior, ok, n_a, n_b) if batched
+            else (prior[None], ok[None], n_a[None], n_b[None])
+        )
+        pk_scores = peaks["scores"] if batched else peaks["scores"][None]
+        b = pr.shape[0]
+        part_pairs, _ = topology.decode_limb_tables()
+        pp = jnp.asarray(part_pairs)
+        flat = jnp.where(okb, pr, -jnp.inf).reshape(b, topology.NUM_LIMBS, k * k)
+        ts, idx = jax.lax.top_k(flat, cap)
+        ta = idx // k
+        tb = idx % k
+        sa = jnp.take_along_axis(pk_scores[:, pp[:, 0]], ta, axis=-1)
+        sb = jnp.take_along_axis(pk_scores[:, pp[:, 1]], tb, axis=-1)
+        raw = assoc_pallas(
+            ts, ta, tb, sa, sb, jnp.minimum(nab, nbb),
+            k_slots=k, n_conn=max_conn, max_people=scan_people,
+            interpret=jax.default_backend() == "cpu",
+        )
+        people = _assemble.cull_and_compact(
+            raw["rows"], raw["score"], raw["cnt"], raw["active"],
+            raw["stamp"], cfg.min_subset_cnt, cfg.min_subset_score,
+        )
+        out = {key: v[:, : cfg.max_people] for key, v in people.items()}
+        return out if batched else {key: v[0] for key, v in out.items()}
+
+    def run_lax(cap):
         def one(prior, ok, na, nb, pk):
             conns = _paf.greedy_all(prior, ok, na, nb, max_conn, cap)
             people = _assemble.assemble(
                 pk,
                 conns,
-                max_people=max(cfg.max_people, cfg.scan_people_capacity),
+                max_people=scan_people,
                 min_cnt=cfg.min_subset_cnt,
                 min_score=cfg.min_subset_score,
             )
@@ -93,6 +152,8 @@ def _post_peaks(
         if batched:
             return jax.vmap(one)(prior, ok, n_a, n_b, peaks)
         return one(prior, ok, n_a, n_b, peaks)
+
+    run = run_pallas if use_pallas_assoc() else run_lax
 
     if cap_fast >= cap_full:
         return run(cap_full)
@@ -183,10 +244,17 @@ def decode_impl(
 
 
 def decode_impl_batch(
-    heatmaps: jnp.ndarray, pafs: jnp.ndarray, cfg: InferenceConfig
+    heatmaps, pafs, cfg: InferenceConfig
 ) -> dict[str, jnp.ndarray]:
-    """Batched decode with ONE adaptive tier choice for the whole batch."""
-    peaks = jax.vmap(lambda h: _find_peaks(h, cfg))(heatmaps)
+    """Batched decode with ONE adaptive tier choice for the whole batch
+    (pair capacity AND peak-compaction capacity)."""
+    flats = jax.vmap(lambda h: _masked_peak_scores(h, cfg))(heatmaps)
+    b, c, n = flats.shape
+    tables = _peaks.peak_tables_tiered(
+        flats.reshape(b * c, n), _heat_width(heatmaps), cfg.max_peaks,
+        cfg.peak_compact_tiers,
+    )
+    peaks = {k: v.reshape(b, c, -1) for k, v in tables.items()}
     people = _two_tier_post_peaks(pafs, peaks, cfg, batched=True)
     return {
         **people,

@@ -139,13 +139,29 @@ def assemble(
         (a_part, b_part, pid_a, pid_b, conn_score, sc_a, sc_b, conn_valid, can_seed),
     )
 
-    keep = active & (cnt >= min_cnt) & (score / jnp.maximum(cnt, 1) >= min_score)
+    return cull_and_compact(rows, score, cnt, active, stamp, min_cnt, min_score)
 
-    # compact kept rows to the front, in creation (stamp) order
-    order = jnp.argsort(jnp.where(keep, stamp, big_stamp), stable=True)
+
+def cull_and_compact(
+    rows: jnp.ndarray,      # (..., P, 18) i32
+    score: jnp.ndarray,     # (..., P) f32
+    cnt: jnp.ndarray,       # (..., P) i32
+    active: jnp.ndarray,    # (..., P) bool
+    stamp: jnp.ndarray,     # (..., P) i32 creation stamps (big = never)
+    min_cnt: int,
+    min_score: float,
+) -> dict[str, jnp.ndarray]:
+    """Reference culling (cnt < min_cnt or score/cnt < min_score) +
+    compaction of kept rows to the front in creation (stamp) order.
+    Parallel (one sort) — shared by the lax and Pallas association
+    paths; supports leading batch dims."""
+    big_stamp = jnp.int32(1 << 30)
+    keep = active & (cnt >= min_cnt) & (score / jnp.maximum(cnt, 1) >= min_score)
+    order = jnp.argsort(jnp.where(keep, stamp, big_stamp), axis=-1, stable=True)
+    take = lambda v: jnp.take_along_axis(v, order, axis=-1)  # noqa: E731
     return {
-        "rows": rows[order],
-        "score": jnp.where(keep, score, 0.0)[order],
-        "cnt": jnp.where(keep, cnt, 0)[order],
-        "valid": keep[order],
+        "rows": jnp.take_along_axis(rows, order[..., None], axis=-2),
+        "score": take(jnp.where(keep, score, 0.0)),
+        "cnt": take(jnp.where(keep, cnt, 0)),
+        "valid": take(keep),
     }

@@ -107,16 +107,27 @@ def _limb_pair_scores(
         # see decode/scalespace.py). Same rounded integer sample points
         # as the materialised paths; values are the f32 evaluation of
         # the same interpolant (~bf16 eps from the bf16-materialised
-        # pipeline, closer to the reference's f32 arithmetic).
+        # pipeline, closer to the reference's f32 arithmetic). At the
+        # small tiers all K*K*M points go through ONE weighted-one-hot
+        # matmul per scale (fewer ops, smaller compile); at the K=96
+        # fallback tier that row matrix would be (K^2*M, Hl) ~ 9.6 GB
+        # for a batch of 8, so it chunks per midpoint instead.
         out_h, out_w = paf_xy.out_hw
-        mids = []
-        for m in range(mid_num):
-            mx = axf[:, None] + dx * t[m]               # (K, K)
-            my = ayf[:, None] + dy * t[m]
+        if k * k * mid_num <= 16384:
+            mx = axf[:, None, None] + dx[:, :, None] * t    # (K, K, M)
+            my = ayf[:, None, None] + dy[:, :, None] * t
             ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
             iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
-            mids.append(sample_avg(paf_xy, iy, ix))
-        sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
+            sampled = sample_avg(paf_xy, iy, ix)            # (K, K, M, 2)
+        else:
+            mids = []
+            for m in range(mid_num):
+                mx = axf[:, None] + dx * t[m]               # (K, K)
+                my = ayf[:, None] + dy * t[m]
+                ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
+                iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
+                mids.append(sample_avg(paf_xy, iy, ix))
+            sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
     elif _paf_sampler() == "onehot" and onehot_ok:
         # Per-midpoint one-hot matmul sampling: never materialises the
         # (K*K*M)-point one-hots at once (measured faster than a single

@@ -153,13 +153,13 @@ def find_peaks(
     return nms_tables(parts, smooth, max_peaks, thre1)
 
 
-def nms_tables(
+def masked_scores(
     parts: jnp.ndarray,     # (H, W, 18) unsmoothed averaged map (scores)
     smooth: jnp.ndarray,    # (H, W, 18) sigma-blurred map (NMS field)
-    max_peaks: int,
     thre1: float,
-) -> dict[str, jnp.ndarray]:
-    """4-neighbour local-max NMS + threshold -> fixed-capacity tables."""
+) -> jnp.ndarray:
+    """4-neighbour local-max NMS + threshold -> (18, H*W) masked scores
+    (-inf off-peak)."""
     h, w = parts.shape[0], parts.shape[1]
     z = jnp.zeros_like(smooth)
     up = jnp.concatenate([z[:1], smooth[:-1]], axis=0)      # shifted down
@@ -176,8 +176,62 @@ def nms_tables(
     )
 
     scores = jnp.where(is_peak, parts, -jnp.inf)            # (H, W, 18)
-    flat = scores.reshape(h * w, -1).T                      # (18, H*W)
-    return peak_tables(flat, w, max_peaks)
+    return scores.reshape(h * w, -1).T                      # (18, H*W)
+
+
+def nms_tables(
+    parts: jnp.ndarray,
+    smooth: jnp.ndarray,
+    max_peaks: int,
+    thre1: float,
+) -> dict[str, jnp.ndarray]:
+    """4-neighbour local-max NMS + threshold -> fixed-capacity tables."""
+    w = parts.shape[1]
+    return peak_tables(masked_scores(parts, smooth, thre1), w, max_peaks)
+
+
+def peak_tables_tiered(
+    flat: jnp.ndarray,      # (C, N) masked scores, any leading channel dim
+    w: int,
+    max_peaks: int,
+    tiers: tuple[int, ...] = (16,),
+) -> dict[str, jnp.ndarray]:
+    """Adaptive-capacity slot compaction (scan mode).
+
+    The one-hot compaction matmul streams an (N, K) contraction per
+    channel; K=96 prices a worst case real scenes never reach (<= ~30
+    peaks). A runtime ``lax.cond`` compacts at the smallest tier whose
+    capacity holds EVERY channel's count and zero-pads the tables to
+    ``max_peaks`` — bitwise identical (slots beyond the count are zero /
+    invalid in both paths). Call this OUTSIDE any vmap (under vmap the
+    cond becomes a select and every tier executes): for batched maps
+    flatten (B, C, N) -> (B*C, N) first.
+    """
+    caps = tuple(sorted({t for t in tiers if 0 < t < max_peaks}))
+    if not caps or _slot_mode() != "scan":
+        return peak_tables(flat, w, max_peaks)
+
+    def pad_to_full(tables):
+        k = tables["xs"].shape[-1]
+        if k == max_peaks:
+            return tables
+        pad = [(0, 0)] * (tables["xs"].ndim - 1) + [(0, max_peaks - k)]
+        return {key: jnp.pad(v, pad) for key, v in tables.items()}
+
+    max_count = jnp.isfinite(flat).sum(axis=-1).max()
+    chain = lambda f: peak_tables(f, w, max_peaks)  # noqa: E731
+    for cap in reversed(caps):
+        chain = partial(
+            lambda cap, inner, f: jax.lax.cond(
+                max_count <= cap,
+                lambda f: pad_to_full(compact_peaks(f, w, cap)),
+                inner,
+                f,
+            ),
+            cap,
+            chain,
+        )
+    return chain(flat)
 
 
 def find_peaks_scalespace(

@@ -25,3 +25,14 @@ def use_pallas_gt() -> bool:
     fused, round 2) — below the >=1.2x bar a default kernel must clear.
     Set TPUPOSE_PALLAS_GT=1 to opt in; the kernel stays parity-tested."""
     return bool(os.environ.get("TPUPOSE_PALLAS_GT")) and use_pallas()
+
+
+def use_pallas_assoc() -> bool:
+    """Whether the fused greedy+assembly association kernel
+    (ops/pallas_assoc.py) replaces the two lax.scan stages on TPU. The
+    scans cost ~30-90 us/iteration on the chip (10.8 ms of the batch-8
+    decode, round 2) while the kernel runs both loops in one VMEM
+    residency. TPUPOSE_DISABLE_PALLAS_ASSOC=1 forces the lax path."""
+    if os.environ.get("TPUPOSE_DISABLE_PALLAS_ASSOC"):
+        return False
+    return use_pallas()
