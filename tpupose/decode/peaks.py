@@ -63,26 +63,27 @@ def compact_peaks(
         (slot[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (c, n, max_peaks), 2))
         & valid[:, :, None]
     ).astype(jnp.float32)                                       # (C, N, K)
-    idx = jnp.arange(n, dtype=jnp.float32)
-    coords = jnp.broadcast_to(
-        jnp.stack([idx % w, idx // w], axis=-1), (c, n, 2)
-    )
-    vals = jnp.concatenate(
-        [coords, jnp.where(valid, scores, 0.0)[:, :, None]], axis=-1
-    )                                                           # (C, N, 3)
-    out = jax.lax.dot_general(
+    # Two batched (N x K) x (N,) contractions whose right operands XLA
+    # generates in-fusion (an iota and the masked map) — slotting the
+    # LINEAR pixel index (exact in f32: N < 2^24) instead of coordinate
+    # columns avoids materialising a (C, N, 3) values tensor; xs/ys are
+    # derived on the tiny (C, K) table.
+    dot = lambda rhs: jax.lax.dot_general(  # noqa: E731
         oh,
-        vals,
+        rhs,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
-    )                                                           # (C, K, 3)
+    )                                                           # (C, K)
+    pos = dot(jax.lax.broadcasted_iota(jnp.float32, (c, n), 1))
+    sc = dot(jnp.where(valid, scores, 0.0))
+    pos_i = pos.astype(jnp.int32)
     valid_out = (
         jax.lax.broadcasted_iota(jnp.int32, (c, max_peaks), 1) < count[:, None]
     )
     return {
-        "xs": out[..., 0].astype(jnp.int32),
-        "ys": out[..., 1].astype(jnp.int32),
-        "scores": jnp.where(valid_out, out[..., 2], 0.0).astype(jnp.float32),
+        "xs": pos_i % w,
+        "ys": pos_i // w,
+        "scores": jnp.where(valid_out, sc, 0.0).astype(jnp.float32),
         "valid": valid_out,
     }
 
