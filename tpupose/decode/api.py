@@ -18,6 +18,7 @@ from tpupose.config import InferenceConfig
 from tpupose.decode import assemble as _assemble
 from tpupose.decode import paf as _paf
 from tpupose.decode import peaks as _peaks
+from tpupose.decode.tiers import cond_chain
 
 
 def _masked_peak_scores(heatmap, cfg: InferenceConfig) -> jnp.ndarray:
@@ -210,16 +211,7 @@ def _two_tier_post_peaks(paf, peaks, cfg: InferenceConfig, batched: bool):
         return _post_peaks(paf, peaks, cfg, batched)
 
     max_count = peaks["valid"].sum(axis=-1).max()
-    chain = big
-    for ks in reversed(caps):
-        chain = partial(
-            lambda ks, inner, paf: jax.lax.cond(
-                max_count <= ks, at_tier(ks), inner, paf
-            ),
-            ks,
-            chain,
-        )
-    return chain(paf)
+    return cond_chain(caps, max_count, at_tier, big, paf)
 
 
 def decode_impl(

@@ -98,58 +98,55 @@ def _limb_pair_scores(
     # tier on full-res maps that is ~7.7 GB for a batch of 16 — an HBM
     # OOM. Beyond this area budget the (rare, dense-crowd) tier uses the
     # gather sampler instead; values are bit-identical either way.
-    onehot_ok = (
-        isinstance(paf_xy, ScaleSpace) or k * k * paf_xy.shape[1] <= 1024 * 1024
-    )
+    # --- pick the point sampler + whether all K*K*M midpoints fuse into
+    # one call. Same rounded/clipped integer sample points in every mode.
     if isinstance(paf_xy, ScaleSpace):
         # Scale-space readout: evaluate the scale-averaged chained
         # bilinear directly on the low-res per-scale maps (linearity —
-        # see decode/scalespace.py). Same rounded integer sample points
-        # as the materialised paths; values are the f32 evaluation of
+        # see decode/scalespace.py); values are the f32 evaluation of
         # the same interpolant (~bf16 eps from the bf16-materialised
-        # pipeline, closer to the reference's f32 arithmetic). At the
-        # small tiers all K*K*M points go through ONE weighted-one-hot
-        # matmul per scale (fewer ops, smaller compile); at the K=96
-        # fallback tier that row matrix would be (K^2*M, Hl) ~ 9.6 GB
-        # for a batch of 8, so it chunks per midpoint instead.
+        # pipeline). At the small tiers all midpoints go through ONE
+        # weighted-one-hot matmul per scale (fewer ops, smaller
+        # compile); at the K=96 fallback tier that row matrix would be
+        # (K^2*M, Hl) ~ 9.6 GB for a batch of 8, so it chunks per
+        # midpoint instead.
         out_h, out_w = paf_xy.out_hw
-        if k * k * mid_num <= 16384:
-            mx = axf[:, None, None] + dx[:, :, None] * t    # (K, K, M)
-            my = ayf[:, None, None] + dy[:, :, None] * t
-            ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
-            iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
-            sampled = sample_avg(paf_xy, iy, ix)            # (K, K, M, 2)
-        else:
-            mids = []
-            for m in range(mid_num):
-                mx = axf[:, None] + dx * t[m]               # (K, K)
-                my = ayf[:, None] + dy * t[m]
-                ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
-                iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
-                mids.append(sample_avg(paf_xy, iy, ix))
-            sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
-    elif _paf_sampler() == "onehot" and onehot_ok:
-        # Per-midpoint one-hot matmul sampling: never materialises the
-        # (K*K*M)-point one-hots at once (measured faster than a single
-        # fused matmul over all midpoints: 4.1 vs 5.1 ms/batch-8 at
-        # K=32, 32 vs 40 ms at K=96), and all the arithmetic rides the
-        # MXU. Values are bit-identical to the gather path.
-        mids = []
-        for m in range(mid_num):
-            mx = axf[:, None] + dx * t[m]               # (K, K)
-            my = ayf[:, None] + dy * t[m]
-            ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, paf_xy.shape[1] - 1)
-            iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, paf_xy.shape[0] - 1)
-            mids.append(_sample_points_onehot(paf_xy, iy, ix))
-        sampled = jnp.stack(mids, axis=-2)              # (K, K, M, 2)
+        sampler = partial(sample_avg, paf_xy)
+        fuse_all = k * k * mid_num <= 16384
     else:
-        mx = axf[:, None, None] + dx[:, :, None] * t    # (K, K, M)
-        my = ayf[:, None, None] + dy[:, :, None] * t
-        ix = jnp.round(mx).astype(jnp.int32)
-        iy = jnp.round(my).astype(jnp.int32)
-        ix = jnp.clip(ix, 0, paf_xy.shape[1] - 1)
-        iy = jnp.clip(iy, 0, paf_xy.shape[0] - 1)
-        sampled = paf_xy[iy, ix]                        # (K, K, M, 2)
+        out_h, out_w = paf_xy.shape[0], paf_xy.shape[1]
+        # The full-res one-hot matmul materialises a (K*K, W, 2) f32
+        # intermediate per limb (x batch under vmap) — ~7.7 GB at the
+        # K=96 tier for a batch of 16, an HBM OOM. Beyond this area
+        # budget the (rare, dense-crowd) tier uses the gather sampler;
+        # values are bit-identical either way.
+        if _paf_sampler() == "onehot" and k * k * out_w <= 1024 * 1024:
+            # per-midpoint chunks measured faster than one fused matmul
+            # at full-res (4.1 vs 5.1 ms/batch-8 at K=32, round 2)
+            sampler = partial(_sample_points_onehot, paf_xy)
+            fuse_all = False
+        else:
+            sampler = lambda iy, ix: paf_xy[iy, ix]     # noqa: E731
+            fuse_all = True
+
+    def sample_clipped(my, mx):
+        ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
+        iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
+        return sampler(iy, ix)
+
+    if fuse_all:
+        sampled = sample_clipped(
+            ayf[:, None, None] + dy[:, :, None] * t,    # (K, K, M)
+            axf[:, None, None] + dx[:, :, None] * t,
+        )                                               # (K, K, M, 2)
+    else:
+        sampled = jnp.stack(
+            [
+                sample_clipped(ayf[:, None] + dy * t[m], axf[:, None] + dx * t[m])
+                for m in range(mid_num)
+            ],
+            axis=-2,
+        )                                               # (K, K, M, 2)
     score_mid = sampled[..., 0] * ux[:, :, None] + sampled[..., 1] * uy[:, :, None]
 
     mean = score_mid.mean(axis=-1)

@@ -63,26 +63,37 @@ def compact_peaks(
         (slot[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (c, n, max_peaks), 2))
         & valid[:, :, None]
     ).astype(jnp.float32)                                       # (C, N, K)
-    # Two batched (N x K) x (N,) contractions whose right operands XLA
-    # generates in-fusion (an iota and the masked map) — slotting the
-    # LINEAR pixel index (exact in f32: N < 2^24) instead of coordinate
-    # columns avoids materialising a (C, N, 3) values tensor; xs/ys are
-    # derived on the tiny (C, K) table.
+    # Batched (N x K) x (N,) contractions whose right operands XLA
+    # generates in-fusion (iotas and the masked map) — slotting pixel
+    # indices instead of coordinate columns avoids materialising a
+    # (C, N, 3) values tensor; xs/ys are derived on the tiny (C, K)
+    # table. Indices ride f32 through the MXU, so they must stay below
+    # 2^24 to be exact: the linear index qualifies for every normal map
+    # (368^2 = 135k), and beyond that the row/column indices are slotted
+    # separately (each exact for any axis < 2^24).
     dot = lambda rhs: jax.lax.dot_general(  # noqa: E731
         oh,
         rhs,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
     )                                                           # (C, K)
-    pos = dot(jax.lax.broadcasted_iota(jnp.float32, (c, n), 1))
     sc = dot(jnp.where(valid, scores, 0.0))
-    pos_i = pos.astype(jnp.int32)
+    if n < (1 << 24):
+        pos_i = dot(jax.lax.broadcasted_iota(jnp.float32, (c, n), 1)).astype(
+            jnp.int32
+        )
+        xs = pos_i % w
+        ys = pos_i // w
+    else:
+        lin = jax.lax.broadcasted_iota(jnp.int32, (c, n), 1)
+        xs = dot((lin % w).astype(jnp.float32)).astype(jnp.int32)
+        ys = dot((lin // w).astype(jnp.float32)).astype(jnp.int32)
     valid_out = (
         jax.lax.broadcasted_iota(jnp.int32, (c, max_peaks), 1) < count[:, None]
     )
     return {
-        "xs": pos_i % w,
-        "ys": pos_i // w,
+        "xs": xs,
+        "ys": ys,
         "scores": jnp.where(valid_out, sc, 0.0).astype(jnp.float32),
         "valid": valid_out,
     }
@@ -219,20 +230,15 @@ def peak_tables_tiered(
         pad = [(0, 0)] * (tables["xs"].ndim - 1) + [(0, max_peaks - k)]
         return {key: jnp.pad(v, pad) for key, v in tables.items()}
 
+    from tpupose.decode.tiers import cond_chain
+
     max_count = jnp.isfinite(flat).sum(axis=-1).max()
-    chain = lambda f: peak_tables(f, w, max_peaks)  # noqa: E731
-    for cap in reversed(caps):
-        chain = partial(
-            lambda cap, inner, f: jax.lax.cond(
-                max_count <= cap,
-                lambda f: pad_to_full(compact_peaks(f, w, cap)),
-                inner,
-                f,
-            ),
-            cap,
-            chain,
-        )
-    return chain(flat)
+    at_cap = lambda cap: lambda f: pad_to_full(  # noqa: E731
+        compact_peaks(f, w, cap)
+    )
+    return cond_chain(
+        caps, max_count, at_cap, lambda f: peak_tables(f, w, max_peaks), flat
+    )
 
 
 def find_peaks_scalespace(

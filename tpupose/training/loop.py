@@ -113,30 +113,42 @@ def train(
     tb = TBLogger(os.path.join(workdir, "tb"))
     key = jax.random.PRNGKey(seed + 1)
 
-    eval_fn = None
     val_logger = None
+    eval_fns: dict[int, Any] = {}
     if val_batches is not None:
-        from tpupose.training.train import make_eval_step
-
-        eval_fn = make_eval_step(cfg, model, loss_denom=cfg.train.batch_size)
         val_every = val_every or cfg.train.checkpoint_every
         val_logger = CSVLogger(os.path.join(workdir, "validation.csv"))
 
+    def _eval_for(n_real: int):
+        # The eucl-loss divisor must be the REAL sample count of each val
+        # batch (mesh padding ships zero masks, so padded rows add nothing
+        # to the numerator but must not inflate the denominator). One
+        # jitted eval per distinct batch size; val feeds typically have
+        # one or two (the last partial batch).
+        if n_real not in eval_fns:
+            from tpupose.training.train import make_eval_step
+
+            eval_fns[n_real] = make_eval_step(cfg, model, loss_denom=n_real)
+        return eval_fns[n_real]
+
     def run_validation(step_idx: int) -> None:
-        if eval_fn is None:
+        if val_batches is None:
             return
         totals: dict[str, float] = {}
-        count = 0
+        n_total = 0
         for vb in val_batches():
+            n_real = next(iter(vb.values())).shape[0]
+            fn = _eval_for(n_real)
             if mesh is not None:
                 vb, _ = pad_batch(vb, mesh.size)
                 vb = shard_batch(mesh, vb)
-            vl = jax.device_get(eval_fn(tree["params"], vb))
+            vl = jax.device_get(fn(tree["params"], vb))
+            # per-sample weighting (Keras evaluate_generator semantics)
             for k, v in vl.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
-        if count:
-            means = {k: v / count for k, v in totals.items()}
+                totals[k] = totals.get(k, 0.0) + float(v) * n_real
+            n_total += n_real
+        if n_total:
+            means = {k: v / n_total for k, v in totals.items()}
             val_logger.log(step_idx, means)
             tb.log(step_idx, {f"val_{k}": v for k, v in means.items()})
 
@@ -175,7 +187,7 @@ def train(
                 on_step(step_idx, logged)
         if step_idx % cfg.train.checkpoint_every == 0:
             ckpt_lib.save(ckpt_dir, jax.device_get(tree))
-        if eval_fn is not None and step_idx % val_every == 0:
+        if val_batches is not None and step_idx % val_every == 0:
             run_validation(step_idx)
 
     # the FINAL step's losses, whatever the logging cadence was
@@ -187,7 +199,7 @@ def train(
 
     final = jax.device_get(tree)
     ckpt_lib.save(ckpt_dir, final)
-    if eval_fn is not None:
+    if val_batches is not None:
         run_validation(int(final["step"]))
         val_logger.close()
     logger.close()
