@@ -32,11 +32,22 @@ def _masked_peak_scores(heatmap, cfg: InferenceConfig) -> jnp.ndarray:
 
     if isinstance(heatmap, ScaleSpace):
         # per-scale low-res inputs: the averaged map + its blur are
-        # weight-matrix matmuls; no full-res map exists for the Pallas
-        # blur kernel to consume (and none is needed)
+        # weight-matrix matmuls (avg/blur folded into constant resize
+        # matrices). On TPU the matmuls + NMS run in one fused Pallas
+        # residency per channel (ops/pallas_pyramid_peaks.py).
         parts_space = heatmap.map_scales(
             lambda m: m[..., : topology.NUM_PARTS]
         )
+        if use_pallas():
+            from tpupose.ops.pallas_pyramid_peaks import (
+                pyramid_peak_scores_pallas,
+            )
+
+            maps = tuple(jnp.moveaxis(m, -1, 0) for m in parts_space.maps)
+            return pyramid_peak_scores_pallas(
+                maps, parts_space.geoms, parts_space.out_hw,
+                sigma=cfg.peak_sigma, thre1=cfg.thre1,
+            )
         parts, smooth = pyramid_heat_maps(parts_space, cfg.peak_sigma)
         return _peaks.masked_scores(parts, smooth, cfg.thre1)
     parts = heatmap[:, :, : topology.NUM_PARTS]
