@@ -226,9 +226,14 @@ def _two_tier_post_peaks(paf, peaks, cfg: InferenceConfig, batched: bool):
 
 
 def decode_impl(
-    heatmap: jnp.ndarray, paf: jnp.ndarray, cfg: InferenceConfig
+    heatmap, paf, cfg: InferenceConfig
 ) -> dict[str, jnp.ndarray]:
-    """(H, W, 19) heatmap + (H, W, 38) PAF -> fixed-size people tables.
+    """Averaged maps -> fixed-size people tables.
+
+    ``heatmap``/``paf`` are either materialised full-res maps —
+    (H, W, 19) and (H, W, 38) — or ``ScaleSpace``s of per-scale low-res
+    network outputs (the product path: the full-res upsample is never
+    materialised; see decode/scalespace.py). Both may be mixed.
 
     Pure (un-jitted) implementation — compose under jit freely. Under
     vmap the internal lax.cond degrades to executing both tiers; use
