@@ -110,6 +110,38 @@ def test_tiered_compaction_matches_full():
         np.testing.assert_array_equal(c[key], d[key], err_msg=key)
 
 
+def test_two_stage_matches_single_stage():
+    """Large-N maps take the blockwise two-stage path; it must equal the
+    single-stage compaction bitwise — including peaks straddling block
+    boundaries and a block-overflow fallback."""
+    from tpupose.decode.peaks import _compact_single, compact_peaks
+
+    w, k = 368, 96
+    n = 368 * 368
+    rng = np.random.default_rng(5)
+    scores = np.full((4, n), -np.inf, np.float32)
+    # sparse channel + peaks packed around block boundaries
+    for c in range(3):
+        idx = rng.choice(n, size=12, replace=False)
+        scores[c, idx] = rng.random(12).astype(np.float32) + 0.1
+    scores[0, 510:514] = 0.5   # straddles the 512-px block edge
+    a = {k2: np.asarray(v) for k2, v in compact_peaks(
+        jnp.asarray(scores), w, k).items()}
+    b = {k2: np.asarray(v) for k2, v in _compact_single(
+        jnp.asarray(scores), w, k).items()}
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+    # dense block: > 8 peaks inside one 512-px block -> runtime fallback
+    scores[3, 1024:1044] = 1.0
+    c2 = {k2: np.asarray(v) for k2, v in compact_peaks(
+        jnp.asarray(scores), w, k).items()}
+    d2 = {k2: np.asarray(v) for k2, v in _compact_single(
+        jnp.asarray(scores), w, k).items()}
+    for key in c2:
+        np.testing.assert_array_equal(c2[key], d2[key], err_msg=key)
+
+
 def test_compaction_empty():
     scores = np.full((18, 46 * 46), -np.inf, np.float32)
     got = compact_peaks(jnp.asarray(scores), 46, 96)

@@ -49,12 +49,113 @@ def compact_peaks(
 ) -> dict[str, jnp.ndarray]:
     """(C, H*W) masked score maps (-inf off-peak) -> peak tables.
 
-    TPU-native slot filling: a prefix sum assigns each peak its scan-
-    order slot, and a one-hot (C, K, N) x (C, N, 3) matmul (HIGHEST
-    precision: each output is one 1.0*value product, so coordinates and
-    scores are exact) moves x/y/score into the fixed-capacity tables —
-    no sort, no scatter, no gather.
+    TPU-native slot filling, two-stage: block-local prefix sums via a
+    triangular MXU matmul assign scan-order slots within 512-px blocks
+    (no multi-pass HBM cumsum over N), a narrow local one-hot moves each
+    block's peaks into per-block mini-tables, and a second (tiny)
+    compaction over the B*K1 candidates builds the final tables. Scan
+    (row-major) order is preserved exactly: blocks are contiguous pixel
+    ranges. A runtime ``lax.cond`` falls back to the single-stage path
+    when any block holds more than K1 peaks (a >=8-peaks-per-1.4-rows
+    density no real scene reaches) — call outside vmap to keep the cond
+    a real branch; under vmap both paths execute.
     """
+    c, n = scores.shape
+    block = 512
+    local_cap = min(8, max_peaks)
+    # two-stage pays off once N spans several blocks; the linear index
+    # must stay f32-exact (< 2^24) — giant (spatial-tiling) maps use the
+    # single-stage path, which slots row/col indices separately
+    if 4 * block < n < (1 << 24):
+        padded = -(-n // block) * block
+        sc_p = jnp.pad(scores, ((0, 0), (0, padded - n)),
+                       constant_values=-jnp.inf)
+        v = jnp.isfinite(sc_p).reshape(c, -1, block)            # (C, B, L)
+        counts_b = v.sum(axis=-1).astype(jnp.int32)             # (C, B)
+        return jax.lax.cond(
+            (counts_b <= local_cap).all(),
+            lambda s: _compact_two_stage(
+                s, v, counts_b, w, n, max_peaks, block, local_cap
+            ),
+            lambda s: _compact_single(s, w, max_peaks),
+            scores,
+        )
+    return _compact_single(scores, w, max_peaks)
+
+
+def _compact_two_stage(
+    scores, v, counts_b, w: int, n: int, max_peaks: int,
+    block: int, local_cap: int,
+) -> dict[str, jnp.ndarray]:
+    c = scores.shape[0]
+    b = v.shape[1]
+    l = block
+    # block-local inclusive prefix sums as ONE triangular matmul (exact:
+    # counts <= 512 in f32), instead of an HBM-multipass cumsum over N
+    tri = jnp.asarray(
+        np.tril(np.ones((l, l), np.float32)).T
+    )                                                           # [j, i] = j <= i
+    prefix = jax.lax.dot_general(
+        v.astype(jnp.float32).reshape(c * b, l), tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(c, b, l).astype(jnp.int32)
+    local_slot = prefix - 1                                     # (C, B, L)
+    base = jnp.cumsum(counts_b, axis=-1) - counts_b             # (C, B) excl
+    count = counts_b.sum(axis=-1)                               # (C,)
+
+    # stage 1: per-block mini-tables of [linear index, score]
+    oh1 = (
+        (local_slot[..., None]
+         == jax.lax.broadcasted_iota(jnp.int32, (c, b, l, local_cap), 3))
+        & v[..., None]
+    ).astype(jnp.float32)                                       # (C, B, L, K1)
+    lin = jax.lax.broadcasted_iota(jnp.float32, (c, b, l), 2) + (
+        jax.lax.broadcasted_iota(jnp.float32, (c, b, l), 1) * l
+    )
+    sc_p = jnp.where(v, jnp.pad(
+        scores, ((0, 0), (0, b * l - n)), constant_values=0.0
+    ).reshape(c, b, l), 0.0)
+    pos1 = (oh1 * lin[..., None]).sum(axis=2)                   # (C, B, K1)
+    sc1 = (oh1 * sc_p[..., None]).sum(axis=2)
+    valid1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, b, local_cap), 2)
+        < counts_b[..., None]
+    )
+
+    # stage 2: compact the (C, B*K1) candidates at their global slots
+    gslot = base[..., None] + jax.lax.broadcasted_iota(
+        jnp.int32, (c, b, local_cap), 2
+    )
+    m = b * local_cap
+    oh2 = (
+        (gslot.reshape(c, m)[..., None]
+         == jax.lax.broadcasted_iota(jnp.int32, (c, m, max_peaks), 2))
+        & valid1.reshape(c, m)[..., None]
+    ).astype(jnp.float32)                                       # (C, M, K)
+    dot2 = lambda rhs: jax.lax.dot_general(  # noqa: E731
+        oh2, rhs,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pos = dot2(pos1.reshape(c, m)).astype(jnp.int32)            # (C, K)
+    sc = dot2(sc1.reshape(c, m))
+    valid_out = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, max_peaks), 1) < count[:, None]
+    )
+    return {
+        "xs": pos % w,
+        "ys": pos // w,
+        "scores": jnp.where(valid_out, sc, 0.0).astype(jnp.float32),
+        "valid": valid_out,
+    }
+
+
+def _compact_single(
+    scores: jnp.ndarray, w: int, max_peaks: int
+) -> dict[str, jnp.ndarray]:
+    """Single-stage compaction: global cumsum + (C, N, K) one-hot dots.
+    The fallback for tiny maps and for block overflow."""
     c, n = scores.shape
     valid = jnp.isfinite(scores)
     slot = jnp.cumsum(valid, axis=-1, dtype=jnp.int32) - 1      # (C, N)
