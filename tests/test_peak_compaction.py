@@ -142,6 +142,38 @@ def test_two_stage_matches_single_stage():
         np.testing.assert_array_equal(c2[key], d2[key], err_msg=key)
 
 
+def test_tiered_overflow_falls_back_to_topk():
+    """When a channel holds MORE peaks than max_peaks can seat, the
+    tiered product path must keep the K strongest (score-descending
+    top_k), not the first K in scan order — dropping only the weakest
+    overflow peaks (the uncapped reference keeps all; strongest-first
+    is the closest capped semantics). ADVICE r2 peaks.py:40."""
+    from tpupose.decode.peaks import peak_tables_tiered
+
+    w, k = 10, 4
+    scores = np.full((1, 100), -np.inf, np.float32)
+    hits = [3, 17, 20, 41, 77, 98]
+    # strongest peaks LAST in scan order: scan-compaction would drop them
+    scores[0, hits] = np.arange(len(hits), dtype=np.float32) + 1.0
+    got = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(scores), w, k, (2,)).items()}
+    assert got["valid"][0].all()
+    np.testing.assert_array_equal(
+        got["scores"][0], np.asarray([6.0, 5.0, 4.0, 3.0])
+    )
+    np.testing.assert_array_equal(
+        got["xs"][0], np.asarray([hits[5], hits[4], hits[3], hits[2]]) % w
+    )
+
+    # no overflow -> unchanged scan-order semantics through the same path
+    fits = np.full((1, 100), -np.inf, np.float32)
+    fits[0, [3, 17, 20]] = [5.0, 1.0, 3.0]
+    got2 = {k2: np.asarray(v) for k2, v in peak_tables_tiered(
+        jnp.asarray(fits), w, k, (2,)).items()}
+    assert int(got2["valid"][0].sum()) == 3
+    np.testing.assert_array_equal(got2["scores"][0, :3], [5.0, 1.0, 3.0])
+
+
 def test_compaction_empty():
     scores = np.full((18, 46 * 46), -np.inf, np.float32)
     got = compact_peaks(jnp.asarray(scores), 46, 96)

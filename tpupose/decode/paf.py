@@ -37,6 +37,11 @@ def _paf_sampler() -> str:
     integral rides the systolic array instead of the gather unit. Default
     on every non-CPU backend; CPU keeps the gather (fast there, and the
     twin-parity suites run on CPU).
+
+    NOTE: read at TRACE time and baked into jit-compiled programs (the
+    ``decode_maps`` caches, ``PoseEstimator._fns``). Set the env var
+    before the first decode call of the process; toggling later has no
+    effect on already-compiled programs.
     """
     s = os.environ.get("TPUPOSE_PAF_SAMPLER")
     if s in ("gather", "onehot"):
@@ -93,11 +98,6 @@ def _limb_pair_scores(
 
     t = jnp.linspace(0.0, 1.0, mid_num)                 # (M,)
     k = axf.shape[0]
-    # The one-hot row-selection matmul materialises a (K*K, W, 2) f32
-    # intermediate per limb (x batch under vmap). At the K=96 fallback
-    # tier on full-res maps that is ~7.7 GB for a batch of 16 — an HBM
-    # OOM. Beyond this area budget the (rare, dense-crowd) tier uses the
-    # gather sampler instead; values are bit-identical either way.
     # --- pick the point sampler + whether all K*K*M midpoints fuse into
     # one call. Same rounded/clipped integer sample points in every mode.
     if isinstance(paf_xy, ScaleSpace):

@@ -38,7 +38,13 @@ def _slot_mode() -> str:
     whenever it fits, which is all the adaptive two-tier decode relies
     on. On capacity overflow (never seen on real scenes: K=96 vs <=30
     peaks) ``scan`` keeps the first K in scan order, ``topk`` the K
-    highest-scored; the uncapped reference keeps all.
+    highest-scored; the uncapped reference keeps all. The product path
+    (``peak_tables_tiered``, called outside vmap) guards this with a
+    runtime overflow cond that falls back to ``topk`` so the strongest
+    peaks are never dropped.
+
+    NOTE: read at TRACE time and baked into jit-compiled programs; set
+    the env var before the first decode call of the process.
     """
     s = os.environ.get("TPUPOSE_PEAK_SLOTS")
     return s if s in ("scan", "topk") else "scan"
@@ -63,11 +69,12 @@ def compact_peaks(
     c, n = scores.shape
     block = 512
     local_cap = min(8, max_peaks)
+    padded = -(-n // block) * block
     # two-stage pays off once N spans several blocks; the linear index
-    # must stay f32-exact (< 2^24) — giant (spatial-tiling) maps use the
-    # single-stage path, which slots row/col indices separately
-    if 4 * block < n < (1 << 24):
-        padded = -(-n // block) * block
+    # ranges over the BLOCK-PADDED size and must stay f32-exact
+    # (< 2^24) — giant (spatial-tiling) maps use the single-stage path,
+    # which slots row/col indices separately
+    if 4 * block < n and padded < (1 << 24):
         sc_p = jnp.pad(scores, ((0, 0), (0, padded - n)),
                        constant_values=-jnp.inf)
         v = jnp.isfinite(sc_p).reshape(c, -1, block)            # (C, B, L)
@@ -334,12 +341,37 @@ def peak_tables_tiered(
     from tpupose.decode.tiers import cond_chain
 
     max_count = jnp.isfinite(flat).sum(axis=-1).max()
+
+    def topk_tables(f):
+        """Capacity-overflow guard: a channel holds more peaks than
+        max_peaks can seat (never seen on real scenes). Scan-order
+        compaction would keep the FIRST K in scan order — i.e. drop by
+        position, possibly losing the strongest peaks — while the
+        uncapped reference keeps all. Fall back to score-descending
+        top_k so only the WEAKEST overflow peaks are dropped. This cond
+        sits outside any vmap (real branch; the top_k's ~30 ms/batch-8
+        cost is only ever paid on overflow)."""
+        top_scores, top_idx = jax.lax.top_k(f, max_peaks)
+        valid = jnp.isfinite(top_scores)
+        return {
+            "xs": (top_idx % w).astype(jnp.int32),
+            "ys": (top_idx // w).astype(jnp.int32),
+            "scores": jnp.where(valid, top_scores, 0.0).astype(jnp.float32),
+            "valid": valid,
+        }
+
+    def full_cap(f):
+        return jax.lax.cond(
+            max_count <= max_peaks,
+            lambda x: peak_tables(x, w, max_peaks),
+            topk_tables,
+            f,
+        )
+
     at_cap = lambda cap: lambda f: pad_to_full(  # noqa: E731
         compact_peaks(f, w, cap)
     )
-    return cond_chain(
-        caps, max_count, at_cap, lambda f: peak_tables(f, w, max_peaks), flat
-    )
+    return cond_chain(caps, max_count, at_cap, full_cap, flat)
 
 
 def find_peaks_scalespace(

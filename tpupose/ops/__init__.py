@@ -10,13 +10,15 @@ def use_pallas() -> bool:
     fallback. The kernel beats XLA's blur+NMS 5.6x on the chip (4.1 vs
     22.7 ms/batch-8, round 2) and is the TPU default.
 
-    Pallas TPU kernels don't lower on the CPU backend (tests run them in
-    interpreter mode explicitly); TPUPOSE_DISABLE_PALLAS=1 forces the jnp
-    path everywhere for debugging.
+    The kernels are Mosaic (TPU) kernels: they don't lower on CPU (tests
+    run them in interpreter mode explicitly) or on GPU backends, so the
+    gate requires an actual TPU backend rather than merely "not cpu".
+    TPUPOSE_DISABLE_PALLAS=1 forces the jnp path everywhere for
+    debugging.
     """
     if os.environ.get("TPUPOSE_DISABLE_PALLAS"):
         return False
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def use_pallas_gt() -> bool:
