@@ -82,6 +82,7 @@ class Stage1Branch(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.bfloat16
+    head_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,8 +91,11 @@ class Stage1Branch(nn.Module):
             x = nn.relu(x)
         x = nn.Conv(512, (1, 1), dtype=self.dtype, name="conv4")(x)
         x = nn.relu(x)
-        # final prediction conv stays float32 for stable losses/decodes
-        x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="out")(x)
+        # final prediction conv defaults to float32 for stable
+        # losses/decodes; head_dtype=bfloat16 keeps the whole stage on
+        # the MXU fast path (losses still accumulate in f32 — bf16
+        # preds promote against the f32 GT)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.head_dtype, name="out")(x)
         return x
 
 
@@ -100,6 +104,7 @@ class StageTBranch(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.bfloat16
+    head_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,7 +113,7 @@ class StageTBranch(nn.Module):
             x = nn.relu(x)
         x = nn.Conv(128, (1, 1), dtype=self.dtype, name="conv6")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="out")(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.head_dtype, name="out")(x)
         return x
 
 
@@ -125,23 +130,35 @@ class OpenPose(nn.Module):
     paf_channels: int = topology.NUM_PAF_CHANNELS
     heat_channels: int = topology.NUM_HEAT_CHANNELS
     dtype: Dtype = jnp.bfloat16
+    head_dtype: Dtype = jnp.float32
+    # rematerialise each stage branch in the backward pass: trades ~1/3
+    # of the forward FLOPs for not keeping the 5x (46,46,128) 7x7-conv
+    # activations of every stage alive until the backward — the memory
+    # lever for large batches / high-res spatial tiling
+    remat: bool = False
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+        s1 = nn.remat(Stage1Branch) if self.remat else Stage1Branch
+        st = nn.remat(StageTBranch) if self.remat else StageTBranch
         feat = VGGBackbone(dtype=self.dtype, name="vgg")(image)
         feat = CPMFeature(dtype=self.dtype, name="cpm")(feat)
 
         outputs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
-        paf = Stage1Branch(self.paf_channels, dtype=self.dtype, name="stage1_L1")(feat)
-        heat = Stage1Branch(self.heat_channels, dtype=self.dtype, name="stage1_L2")(feat)
+        paf = s1(self.paf_channels, dtype=self.dtype,
+                 head_dtype=self.head_dtype, name="stage1_L1")(feat)
+        heat = s1(self.heat_channels, dtype=self.dtype,
+                  head_dtype=self.head_dtype, name="stage1_L2")(feat)
         outputs.append((paf, heat))
 
         for t in range(2, self.num_stages + 1):
             x = jnp.concatenate(
                 [paf.astype(self.dtype), heat.astype(self.dtype), feat], axis=-1
             )
-            paf = StageTBranch(self.paf_channels, dtype=self.dtype, name=f"stage{t}_L1")(x)
-            heat = StageTBranch(self.heat_channels, dtype=self.dtype, name=f"stage{t}_L2")(x)
+            paf = st(self.paf_channels, dtype=self.dtype,
+                     head_dtype=self.head_dtype, name=f"stage{t}_L1")(x)
+            heat = st(self.heat_channels, dtype=self.dtype,
+                      head_dtype=self.head_dtype, name=f"stage{t}_L2")(x)
             outputs.append((paf, heat))
         return outputs
 
