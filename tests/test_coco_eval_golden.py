@@ -56,7 +56,12 @@ def test_perfect_detections_ap_1():
             {"keypoints": gt2, "area": 5000.0}]]
     preds = [[as_pred(gt1, 0.9), as_pred(gt2, 0.8)]]
     res = coco_eval.evaluate(preds, gts)
-    assert res == {"AP": 1.0, "AP50": 1.0, "AP75": 1.0}
+    assert res["AP"] == res["AP50"] == res["AP75"] == 1.0
+    assert res["AR"] == res["AR50"] == res["AR75"] == 1.0
+    # both GT areas (5000) fall in the medium range [32^2, 96^2];
+    # the large range holds no GT -> COCOeval's -1 sentinel
+    assert res["AP_M"] == res["AR_M"] == 1.0
+    assert res["AP_L"] == res["AR_L"] == -1.0
 
 
 def test_partial_match_hand_computed_ap():
@@ -96,6 +101,53 @@ def test_false_positive_ranks_into_precision():
     res = coco_eval.evaluate(preds, gts)
     np.testing.assert_allclose(res["AP"], 0.5, rtol=1e-9)
     np.testing.assert_allclose(res["AP50"], 0.5, rtol=1e-9)
+
+
+def test_max_dets_cap_drops_lowest_scored():
+    """COCO keypoints caps detections at 20/image (score-descending).
+    21 detections where the only TRUE one has the LOWEST score: with
+    the cap it is dropped entirely (AP 0); uncapped it survives at
+    rank 21 -> every recall point reads right-cummax precision 1/21."""
+    gt1 = person_kps(0.0)
+    gts = [[{"keypoints": gt1, "area": 5000.0}]]
+    junk = [as_pred(person_kps(800.0 + 40 * i), 0.9 - 0.01 * i)
+            for i in range(20)]
+    preds = [junk + [as_pred(gt1, 0.05)]]
+
+    capped = coco_eval.evaluate(preds, gts)
+    assert capped["AP"] == 0.0
+    assert capped["AR"] == 0.0
+
+    uncapped = coco_eval.evaluate(preds, gts, max_dets=100)
+    np.testing.assert_allclose(uncapped["AP"], 1 / 21, rtol=1e-9)
+    assert uncapped["AR"] == 1.0
+
+
+def test_area_range_ignore_semantics():
+    """Medium GT (area 5000) + large GT (area 10^5): in the medium
+    range the large GT is IGNORED — its (perfect) detection matches
+    the ignored GT and counts neither TP nor FP, so AP_M stays 1.0
+    (COCOeval gt-ignore semantics), and symmetrically for AP_L."""
+    gt_m, gt_l = person_kps(0.0), person_kps(400.0)
+    gts = [[{"keypoints": gt_m, "area": 5000.0},
+            {"keypoints": gt_l, "area": 1e5}]]
+    preds = [[as_pred(gt_m, 0.9), as_pred(gt_l, 0.8)]]
+    res = coco_eval.evaluate(preds, gts)
+    assert res["AP"] == res["AR"] == 1.0
+    assert res["AP_M"] == res["AR_M"] == 1.0
+    assert res["AP_L"] == res["AR_L"] == 1.0
+
+
+def test_recall_is_final_recall_at_max_dets():
+    """2 GT, 1 perfect detection: AR = 0.5 at every threshold while
+    AP = 51/101 (precision 1 up to recall 0.5, then 0)."""
+    gt1, gt2 = person_kps(0.0), person_kps(300.0)
+    gts = [[{"keypoints": gt1, "area": 4000.0},
+            {"keypoints": gt2, "area": 4000.0}]]
+    preds = [[as_pred(gt1, 0.9)]]
+    res = coco_eval.evaluate(preds, gts)
+    np.testing.assert_allclose(res["AR"], 0.5, rtol=1e-9)
+    np.testing.assert_allclose(res["AP"], 51 / 101, rtol=1e-9)
 
 
 def test_greedy_matching_prefers_best_oks_not_first_gt():

@@ -170,6 +170,111 @@ def _measure_stream(est, batch, scales, n_warmup, n_batches) -> float:
     return n_done / (time.perf_counter() - t0)
 
 
+def _measure_on_device(est, batch, scales, iters=20) -> float:
+    """On-device throughput (images/sec): input resident on device, N
+    chained program dispatches, ONE final sync on a scalar leaf — no
+    per-batch host<->device transfer rides the measurement (the wall
+    numbers are transfer/RTT-bound behind the sandbox's network relay;
+    this is the number a directly-attached chip would approach)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w = batch.shape[:3]
+    fn = est._batch_fn(n, h, w, scales)
+    imgs_dev = jnp.asarray(batch)
+    out = fn(est.params, imgs_dev)
+    jax.device_get(out["cnt"].sum())          # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(est.params, imgs_dev)
+    jax.device_get(out["cnt"].sum())
+    return n * iters / (time.perf_counter() - t0)
+
+
+def _measure_latency(est, image, scales, iters=30) -> dict:
+    """Per-image latency (batch 1): wall p50/p99 (submit -> host people,
+    includes the relay RTT + transfers) and on-device mean (chained
+    dispatches, one sync — per-program execution time)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = est._batch_fn(1, image.shape[0], image.shape[1], scales)
+    img = image[None]
+    samples = []
+    out = fn(est.params, jnp.asarray(img))
+    jax.device_get(out["cnt"].sum())          # compile
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        tables = jax.device_get(fn(est.params, jnp.asarray(img)))
+        from tpupose.decode import to_people
+
+        to_people(jax.tree.map(lambda x: x[0], tables))
+        samples.append((time.perf_counter() - t0) * 1e3)
+    samples.sort()
+    img_dev = jnp.asarray(img)
+    out = fn(est.params, img_dev)
+    jax.device_get(out["cnt"].sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(est.params, img_dev)
+    jax.device_get(out["cnt"].sum())
+    dev_mean = (time.perf_counter() - t0) / iters * 1e3
+    return {
+        "wall_p50_ms": round(samples[len(samples) // 2], 2),
+        "wall_p99_ms": round(samples[min(len(samples) - 1,
+                                         int(len(samples) * 0.99))], 2),
+        "device_mean_ms": round(dev_mean, 2),
+    }
+
+
+def _measure_train(batch_size: int = 16, iters: int = 12) -> dict:
+    """Train-step line (VERDICT r2 #1): full fused step — on-device
+    aug + GT + 6-stage fwd/bwd + MultiSGD-equivalent update — at the
+    throughput-optimal batch (scaling study: experiments/train_opt_r3.py;
+    batch 10 undersaturates the chip at ~41% MFU, batch 16 reaches ~63%)."""
+    import dataclasses
+
+    import jax
+
+    from tpupose.config import DEFAULT
+    from tpupose.data.pipeline import synthetic_batches
+    from tpupose.models import OpenPose
+    from tpupose.training import create_state, make_train_step
+    from tpupose.utils import flops as flops_lib
+
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(
+        DEFAULT, train=dataclasses.replace(DEFAULT.train, batch_size=batch_size)
+    )
+    model = OpenPose(num_stages=cfg.model.num_stages,
+                     dtype=jnp.dtype(cfg.model.compute_dtype))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 368, 368, 3)))["params"]
+    state, tx = create_state(cfg, params)
+    step = make_train_step(cfg, model, tx, loss_denom=batch_size)
+    tree = state.tree()
+    batch = {k: jnp.asarray(v) for k, v in next(iter(synthetic_batches(cfg)))
+             .items()}
+    key = jax.random.PRNGKey(1)
+    tree, losses = step(tree, key, batch)
+    jax.device_get(losses["total"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        tree, losses = step(tree, jax.random.fold_in(key, i), batch)
+    jax.device_get(losses["total"])
+    dt = (time.perf_counter() - t0) / iters
+    step_flops = 3 * flops_lib.forward_flops(368, 368)
+    return {
+        "train_batch": batch_size,
+        "train_step_ms": round(dt * 1e3, 1),
+        "train_samples_per_s": round(batch_size / dt, 1),
+        "train_mfu_pct": round(
+            100.0 * batch_size / dt * step_flops / flops_lib.PEAK_BF16_FLOPS, 1
+        ),
+    }
+
+
 def main(baseline_cache: str | None = None):
     _enable_compile_cache()
     from tpupose.config import DEFAULT
@@ -185,6 +290,15 @@ def main(baseline_cache: str | None = None):
     ips4 = _measure_stream(est, batch, None, 2, 8)
     batch1 = np.stack([image] * BATCH_SINGLE)
     ips1 = _measure_stream(est, batch1, (1.0,), N_WARMUP, N_BATCHES)
+    # disambiguated single-scale throughput (round-2 VERDICT weak #5):
+    # the wall number swings with tunnel bandwidth; on-device is stable
+    ips1_dev = _measure_on_device(est, batch1, (1.0,))
+    ips4_dev = _measure_on_device(est, batch, None, iters=10)
+    # per-image latency, single-scale (demo-camera path) + 4-scale
+    # product path (round-2 VERDICT missing #4)
+    lat1 = _measure_latency(est, image, (1.0,))
+    lat4 = _measure_latency(est, image, None, iters=20)
+    train = _measure_train()
 
     baseline = get_baseline(baseline_cache or DEFAULT_BASELINE_CACHE)
     base4_ips = 1.0 / baseline["reference_cpu_latency_4scale_s"]
@@ -204,8 +318,13 @@ def main(baseline_cache: str | None = None):
                 "value": round(ips4, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(ips4 / base4_ips, 2),
-                "single_scale_ips": round(ips1, 3),
+                "single_scale_ips_wall": round(ips1, 3),
+                "single_scale_ips_on_device": round(ips1_dev, 3),
+                "pyramid_ips_on_device": round(ips4_dev, 3),
                 "single_scale_vs_baseline": round(ips1 / base1_ips, 2),
+                "latency_single_scale_ms": lat1,
+                "latency_4scale_ms": lat4,
+                **train,
                 "model_tflops_per_image_4scale": round(fl4 / 1e12, 3),
                 "mfu_4scale_pct": round(
                     100.0 * ips4 * fl4 / flops_lib.PEAK_BF16_FLOPS, 2

@@ -59,75 +59,110 @@ def people_to_array(people: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     return kps, scores
 
 
-def evaluate(
-    predictions: list[list[dict]],
-    gts: list[list[dict]],
-) -> dict[str, float]:
-    """AP over OKS thresholds.
+# COCO keypoint evaluation parameters (pycocotools COCOeval.Params for
+# iouType='keypoints'): detections capped at 20 per image; area ranges
+# all / medium [32^2, 96^2] / large [96^2, 1e5^2].
+MAX_DETS = 20
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
-    predictions[i]: people JSON for image i.
-    gts[i]: list of {"keypoints": (18, 3) internal-order or (17, 3)
-    COCO-order array-like, "area": float} for image i. 17-keypoint GT is
-    converted (neck synthesised from the shoulders).
-    Returns {"AP": mean AP, "AP50": ..., "AP75": ...}.
+
+def detection_area(kps: np.ndarray) -> float:
+    """Keypoint-extent bbox area of one (18, 3) detection — what
+    pycocotools' ``COCO.loadRes`` computes for keypoint results (there
+    is no segmentation on a keypoint detection)."""
+    present = kps[:, 2] < 2
+    if not present.any():
+        return 0.0
+    xs, ys = kps[present, 0], kps[present, 1]
+    return float((xs.max() - xs.min()) * (ys.max() - ys.min()))
+
+
+def _to_internal(kp) -> np.ndarray:
+    kp = np.asarray(kp, np.float64)
+    if kp.shape[0] == topology.NUM_PARTS:
+        return kp
+    if kp.shape[0] == 17:  # COCO order with COCO visibility codes
+        from tpupose.data.coco_prep import coco_joints_to_parts
+
+        return coco_joints_to_parts(kp.reshape(-1).tolist())
+    raise ValueError(f"GT keypoints must be (17|18, 3), got {kp.shape}")
+
+
+def _eval_image(det_kps, det_scores, gt_kps, gt_areas, arng, max_dets):
+    """COCOeval.evaluateImg for one image / one area range.
+
+    Returns (scores (D,), tp (D, T) bool, dt_ig (D, T) bool, npig) where
+    D = min(#dets, max_dets) in score order. GT outside the area range
+    are IGNORED: they can still absorb a detection (which then counts
+    neither TP nor FP), and they don't count toward recall's
+    denominator. Unmatched detections whose own (keypoint-extent) area
+    falls outside the range are ignored too, exactly as COCOeval does.
     """
     n_thr = len(OKS_THRESHOLDS)
-    det_scores_all: list[float] = []
-    det_tp_all: list[np.ndarray] = []  # (n_thr,) bool per detection
-    total_gt = 0
+    order = np.argsort(-det_scores, kind="stable")[:max_dets]
+    n_gt = len(gt_kps)
+    gt_ig = np.asarray(
+        [not (arng[0] <= a <= arng[1]) for a in gt_areas], bool
+    )
+    # gts sorted ignored-last (stable), COCOeval's gtind
+    gt_order = np.argsort(gt_ig, kind="stable")
 
-    def _to_internal(kp) -> np.ndarray:
-        kp = np.asarray(kp, np.float64)
-        if kp.shape[0] == topology.NUM_PARTS:
-            return kp
-        if kp.shape[0] == 17:  # COCO order with COCO visibility codes
-            from tpupose.data.coco_prep import coco_joints_to_parts
+    ious = np.zeros((len(order), n_gt))
+    for r, di in enumerate(order):
+        for gj in range(n_gt):
+            ious[r, gj] = oks(det_kps[di], gt_kps[gj], gt_areas[gj])
 
-            return coco_joints_to_parts(kp.reshape(-1).tolist())
-        raise ValueError(f"GT keypoints must be (17|18, 3), got {kp.shape}")
+    tp = np.zeros((len(order), n_thr), bool)
+    dt_ig = np.zeros((len(order), n_thr), bool)
+    dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
+    dt_out = ~((arng[0] <= dt_areas) & (dt_areas <= arng[1]))
+    for thr_i, thr in enumerate(OKS_THRESHOLDS):
+        gt_matched = np.zeros(n_gt, bool)
+        for r in range(len(order)):
+            best_iou = min(thr, 1 - 1e-10)
+            m = -1
+            for gj in gt_order:
+                if gt_matched[gj]:
+                    continue
+                # best match so far is a real gt; later gts are all
+                # ignored (sorted last) — stop
+                if m > -1 and not gt_ig[m] and gt_ig[gj]:
+                    break
+                if ious[r, gj] < best_iou:
+                    continue
+                best_iou = ious[r, gj]
+                m = gj
+            if m >= 0:
+                gt_matched[m] = True
+                tp[r, thr_i] = not gt_ig[m]
+                dt_ig[r, thr_i] = gt_ig[m]
+            else:
+                dt_ig[r, thr_i] = dt_out[r]
+    npig = int((~gt_ig).sum())
+    return det_scores[order], tp, dt_ig, npig
 
-    for preds, gt_list in zip(predictions, gts):
-        gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
-        gt_area = [float(g.get("area", 1.0)) for g in gt_list]
-        total_gt += len(gt_list)
 
-        det_kps, det_scores = people_to_array(preds)
-        # stable, like COCOeval's mergesort: ties keep detection order
-        order = np.argsort(-det_scores, kind="stable")
-
-        ious = np.zeros((len(order), len(gt_list)))
-        for r, di in enumerate(order):
-            for gj in range(len(gt_list)):
-                ious[r, gj] = oks(det_kps[di], gt_kps[gj], gt_area[gj])
-
-        tp = np.zeros((len(order), n_thr), bool)
-        for thr_i, thr in enumerate(OKS_THRESHOLDS):
-            taken = np.zeros(len(gt_list), bool)
-            for r in range(len(order)):
-                best, best_j = thr, -1
-                for gj in range(len(gt_list)):
-                    if taken[gj] or ious[r, gj] < best:
-                        continue
-                    best, best_j = ious[r, gj], gj
-                if best_j >= 0:
-                    taken[best_j] = True
-                    tp[r, thr_i] = True
-        for r, di in enumerate(order):
-            det_scores_all.append(float(det_scores[di]))
-            det_tp_all.append(tp[r])
-
+def _accumulate(scores, tps, igs, total_gt):
+    """COCOeval.accumulate for one area range: 101-point AP per
+    threshold + final recall (AR) per threshold."""
+    n_thr = len(OKS_THRESHOLDS)
     if total_gt == 0:
-        return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
-
-    aps = []
-    rank = sorted(range(len(det_scores_all)), key=lambda i: -det_scores_all[i])
-    # (python sorted is stable: global ties keep per-image insertion order,
-    # matching COCOeval's kind='mergesort')
+        return [-1.0] * n_thr, [-1.0] * n_thr
+    rank = sorted(range(len(scores)), key=lambda i: -scores[i])
+    # (python sorted is stable: global ties keep per-image insertion
+    # order, matching COCOeval's kind='mergesort')
     rec_points = np.linspace(0, 1, 101)
+    aps, ars = [], []
     for thr_i in range(n_thr):
-        tp = np.asarray([det_tp_all[i][thr_i] for i in rank], bool)
+        keep = np.asarray([not igs[i][thr_i] for i in rank], bool)
+        tp = np.asarray([tps[i][thr_i] for i in rank], bool)[keep]
         if len(tp) == 0:
             aps.append(0.0)
+            ars.append(0.0)
             continue
         cum_tp = np.cumsum(tp)
         recall = cum_tp / total_gt
@@ -139,9 +174,61 @@ def evaluate(
             [pr[ix] if ix < len(pr) else 0.0 for ix in idxs]
         )
         aps.append(float(prec_interp.mean()))
+        ars.append(float(recall[-1]))
+    return aps, ars
 
-    return {
-        "AP": float(np.mean(aps)),
-        "AP50": aps[0],
-        "AP75": aps[5],
+
+def evaluate(
+    predictions: list[list[dict]],
+    gts: list[list[dict]],
+    max_dets: int = MAX_DETS,
+) -> dict[str, float]:
+    """Full COCO keypoint metric summary over OKS thresholds .50:.05:.95.
+
+    predictions[i]: people JSON for image i.
+    gts[i]: list of {"keypoints": (18, 3) internal-order or (17, 3)
+    COCO-order array-like, "area": float} for image i. 17-keypoint GT is
+    converted (neck synthesised from the shoulders).
+
+    Returns the standard COCO keypoints summary (pycocotools
+    ``COCOeval.summarize`` line set): AP, AP50, AP75, AP_M, AP_L, AR,
+    AR50, AR75, AR_M, AR_L. Detections are capped at ``max_dets=20``
+    per image (score-descending) like COCOeval; area-partitioned
+    metrics follow its gt-ignore semantics. Ranges with no GT report
+    -1.0, COCOeval's convention.
+    """
+    per_rng: dict[str, dict] = {
+        name: {"scores": [], "tp": [], "ig": [], "ngt": 0}
+        for name in AREA_RNG
     }
+
+    for preds, gt_list in zip(predictions, gts):
+        gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
+        gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
+        det_kps, det_scores = people_to_array(preds)
+        for name, arng in AREA_RNG.items():
+            sc, tp, ig, npig = _eval_image(
+                det_kps, det_scores, gt_kps, gt_areas, arng, max_dets
+            )
+            acc = per_rng[name]
+            acc["scores"].extend(float(s) for s in sc)
+            acc["tp"].extend(tp)
+            acc["ig"].extend(ig)
+            acc["ngt"] += npig
+
+    out: dict[str, float] = {}
+    for name in AREA_RNG:
+        acc = per_rng[name]
+        aps, ars = _accumulate(acc["scores"], acc["tp"], acc["ig"], acc["ngt"])
+        mean_ap = float(np.mean(aps))
+        mean_ar = float(np.mean(ars))
+        if name == "all":
+            out.update(
+                AP=mean_ap, AP50=aps[0], AP75=aps[5],
+                AR=mean_ar, AR50=ars[0], AR75=ars[5],
+            )
+        else:
+            suffix = "M" if name == "medium" else "L"
+            out[f"AP_{suffix}"] = mean_ap
+            out[f"AR_{suffix}"] = mean_ar
+    return out
