@@ -111,6 +111,10 @@ def train(
     step_fn = make_train_step(cfg, model, tx, loss_denom=cfg.train.batch_size)
     logger = CSVLogger(os.path.join(workdir, "training.csv"))
     tb = TBLogger(os.path.join(workdir, "tb"))
+    # async saves: the step loop never blocks on serialization/disk — only
+    # on the device->host copy, which Orbax completes before save returns
+    # (so the donated state buffers are safe to reuse next step)
+    saver = ckpt_lib.AsyncSaver(ckpt_dir)
     key = jax.random.PRNGKey(seed + 1)
 
     val_logger = None
@@ -186,7 +190,9 @@ def train(
             if on_step is not None:
                 on_step(step_idx, logged)
         if step_idx % cfg.train.checkpoint_every == 0:
-            ckpt_lib.save(ckpt_dir, jax.device_get(tree))
+            # host-side step counter: reading tree["step"] would sync on
+            # the in-flight chain
+            saver.save(tree, step=step_idx)
         if val_batches is not None and step_idx % val_every == 0:
             run_validation(step_idx)
 
@@ -198,7 +204,9 @@ def train(
     )
 
     final = jax.device_get(tree)
-    ckpt_lib.save(ckpt_dir, final)
+    if saver.last_saved != int(final["step"]):
+        saver.save(tree, step=int(final["step"]))
+    saver.close()  # block until every pending write is durable
     if val_batches is not None:
         run_validation(int(final["step"]))
         val_logger.close()
