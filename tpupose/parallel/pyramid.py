@@ -9,14 +9,21 @@ axis, one forward runs on all chips simultaneously, and the averaged
 maps are produced by the XLA-inserted collective when the (replicated)
 mean is taken.
 
-Padding note: the input-level semantics match the reference's gray
-padRightDownCorner pad, but deep-layer activations over the gray canvas
-are nonzero (bias + ReLU), unlike the per-layer zero padding the
-standalone per-scale program sees at its borders. Outputs within a
-receptive field of the crop boundary therefore differ slightly from the
-serial pyramid; interior content is unaffected. The serial fused program
+Padding note — MEASURED divergence bound (tests/test_pyramid_drift.py):
+the input-level semantics match the reference's gray padRightDownCorner
+pad, but deep-layer activations over the gray canvas are nonzero
+(bias + ReLU), unlike the per-layer zero padding the standalone
+per-scale program sees at its borders. Measured against the serial
+pyramid (same params, 2-scale, single-stage f32 net): the averaged-map
+divergence is up to ~31% of the map's dynamic range within 16 px of the
+image border, ~11% in the 16-32 px band, and <= ~2% beyond 32 px —
+decaying at least 2x per 16-px band (pinned with headroom by the test).
+Under the decode's sigma-3 smoothed NMS, GT-prominence peaks perturbed
+at that profile move <= 1 px in the interior and <= 2 px in the border
+band, so only keypoints within ~32 px of the image border are at risk
+of drifting versus the serial program. The serial fused program
 (`PoseEstimator.process`) remains the parity-exact default; this mode
-trades edge-exactness for cross-chip scale parallelism.
+trades that bounded edge divergence for cross-chip scale parallelism.
 """
 
 from __future__ import annotations
