@@ -108,6 +108,10 @@ if __name__ == "__main__":
     counts = (6, 12, 20, 30)
     if len(sys.argv) > 1 and sys.argv[1] == "cliff":
         counts = (33, 45, 60)       # past the K=32 boundary
+    elif len(sys.argv) > 1 and sys.argv[1] == "mid":
+        counts = (12, 20)
+        tier_sets = {"tiers(8,16,32,64)": (8, 16, 32, 64),
+                     "tiers(8,32,64)": (8, 32, 64)}
     for n_people in counts:
         heat_ss, paf_ss = dense_scene_scalespace(n_people, batch)
         # actual peak counts (max over channels) — what the tier cond sees

@@ -65,7 +65,11 @@ class InferenceConfig:
     # smallest adequate capacity — bitwise identical results, since the
     # K x K pair grid costs O(K^2) and peaks fill the leading slots.
     # Runtime lax.conds pick the tier; () disables (always max_peaks).
-    pair_tiers: tuple[int, ...] = (8, 32)
+    # Ladder measured round 3 (experiments/dense_decode_r3.py, on-chip
+    # decode ms/batch-8): <=8 peaks 10 ms, <=16 17.8, <=32 42.6,
+    # <=64 133, K=96 fallback 287 — the 16 tier is 2.4x for mid scenes
+    # and the 64 tier cushions the crowd cliff 2.15x.
+    pair_tiers: tuple[int, ...] = (8, 16, 32, 64)
     # Adaptive peak-compaction capacity: the scan-order slot compaction
     # streams an (H*W, K) one-hot contraction per part channel, so K=96
     # prices a worst case real scenes never reach. When every channel's
