@@ -18,20 +18,27 @@ def test_bench_module_importable_from_package():
     assert callable(benchmark.get_baseline)
 
 
-def test_pallas_env_flag_falsy_strings(monkeypatch):
-    pytest.skip("pallas kernels TPU-validated; default-disable removed")
-    """TPUPOSE_ENABLE_PALLAS=0 must NOT enable the Pallas path."""
-    import importlib
-    import os
-    import sys
+def test_pallas_gate_requires_tpu_backend(monkeypatch):
+    """The Mosaic kernels only lower on TPU: the gate must be
+    backend == 'tpu' (advisor r2: 'not cpu' would select them on GPU
+    backends and fail to lower), and TPUPOSE_DISABLE_PALLAS=1 must win
+    everywhere. The suite runs on the CPU backend, so all gates read
+    False here regardless of env."""
+    from tpupose import ops
 
-    monkeypatch.setenv("TPUPOSE_ENABLE_PALLAS", "0")
     monkeypatch.delenv("TPUPOSE_DISABLE_PALLAS", raising=False)
-    sys.modules.pop("tpupose.benchmark", None)
-    import tpupose.benchmark  # noqa: F401
+    assert ops.use_pallas() is False          # cpu backend
+    assert ops.use_pallas_assoc() is False
+    assert ops.use_pallas_gt() is False
 
-    assert os.environ.get("TPUPOSE_DISABLE_PALLAS") == "1"
-    sys.modules.pop("tpupose.benchmark", None)
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+    assert ops.use_pallas() is False          # gpu backend: still no Mosaic
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ops.use_pallas() is True
+    monkeypatch.setenv("TPUPOSE_DISABLE_PALLAS", "1")
+    assert ops.use_pallas() is False          # kill switch wins
 
 
 def test_coco_eval_accepts_17kp_gt(rng):
