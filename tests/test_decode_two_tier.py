@@ -60,6 +60,54 @@ def test_micro_tier_identical_across_tier_sets():
             )
 
 
+def test_grouped_decode_bitwise_identical():
+    """decode_groups > 1 (density-sorted sub-batch tiers) must be
+    bitwise-identical to the single-group program on a mixed batch,
+    including uneven group sizes (batch 5, groups 2/4)."""
+    heats, pafs = [], []
+    for seed, sigma, gain in (
+        (1, 8.0, 4.0), (2, 3.0, 6.0), (11, 12.0, 3.0),
+        (12, 3.0, 6.0), (13, 8.0, 4.0),
+    ):
+        heats.append(smooth_field(seed, 96, 96, 19, sigma, gain))
+        pafs.append(smooth_field(seed + 50, 96, 96, 38, sigma, 3.0))
+    heats = np.stack(heats)
+    pafs = np.stack(pafs)
+    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    base = jax.device_get(run(heats, pafs, InferenceConfig()))
+    for groups in (2, 4):
+        cfg = InferenceConfig(decode_groups=groups)
+        got = jax.device_get(run(heats, pafs, cfg))
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(base[k]),
+                err_msg=f"groups={groups} key={k}",
+            )
+
+
+def test_grouped_decode_scalespace_e2e():
+    """The grouped path slices ScaleSpace pafs through the pytree; the
+    full product path (PoseEstimator.process_batch) must be unchanged."""
+    import dataclasses as dc
+
+    from tpupose.config import with_scales
+    from tpupose.infer import PoseEstimator
+
+    base_cfg = with_scales((1.0,))
+    grp_cfg = dc.replace(
+        base_cfg,
+        inference=dc.replace(base_cfg.inference, decode_groups=2),
+    )
+    rng = np.random.default_rng(5)
+    images = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    params = PoseEstimator(cfg=base_cfg).params
+    est_a = PoseEstimator(cfg=base_cfg, params=params)
+    est_b = PoseEstimator(cfg=grp_cfg, params=params)
+    want = est_a.process_batch(images)
+    got = est_b.process_batch(images)
+    assert [canon(p) for p in got] == [canon(p) for p in want]
+
+
 def test_batched_decode_matches_per_image():
     """Mixed-density batch: the batch-global tier choice must not change
     results vs per-image decode (dense image forces the big tier)."""

@@ -90,6 +90,15 @@ class InferenceConfig:
     # Default equals max_peaks (no truncation within capacity); deployments
     # may lower it to shorten the sequential assembly scan.
     max_connections: int = 96   # per limb, bounds the assembly scan
+    # Batched decode tier granularity: the pair/assembly tier choice is
+    # per density-sorted sub-batch instead of per batch, so one crowded
+    # image no longer drags every image onto its O(K^2) tier. Images are
+    # argsorted by peak count on-device (no host sync), split into this
+    # many contiguous groups, decoded at each group's own adaptive tier,
+    # and unpermuted — bitwise identical to decode_groups=1. Values > 1
+    # multiply compiled program size by ~the group count; measured
+    # round 3 (experiments/grouped_decode_r3.py).
+    decode_groups: int = 1
 
     @property
     def num_scales(self) -> int:

@@ -251,11 +251,41 @@ def decode_impl(
     }
 
 
+def _grouped_post_peaks(pafs, peaks, cfg: InferenceConfig, groups: int):
+    """Per-group adaptive tiers: argsort images by peak count (on-device,
+    no host sync), split into ``groups`` contiguous sub-batches, give each
+    its own tier cond-chain, unpermute. A lone crowded image then drags
+    only its group — not the whole batch — onto the O(K^2) dense tier.
+    Bitwise identical to the single-group path: tier capacity never
+    changes values when the group's counts fit it, and the permutation is
+    exact."""
+    b = peaks["valid"].shape[0]
+    groups = min(groups, b)
+    counts = peaks["valid"].sum(axis=-1).max(axis=-1)   # (B,) peaks/channel
+    order = jnp.argsort(counts)
+    inv = jnp.argsort(order)
+    pk_s = {k: jnp.take(v, order, axis=0) for k, v in peaks.items()}
+    paf_s = jax.tree.map(lambda m: jnp.take(m, order, axis=0), pafs)
+
+    outs = []
+    start = 0
+    for g in range(groups):
+        size = b // groups + (1 if g < b % groups else 0)
+        sl = slice(start, start + size)
+        start += size
+        pk_g = {k: v[sl] for k, v in pk_s.items()}
+        paf_g = jax.tree.map(lambda m: m[sl], paf_s)
+        outs.append(_two_tier_post_peaks(paf_g, pk_g, cfg, batched=True))
+    cat = {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+    return {k: jnp.take(v, inv, axis=0) for k, v in cat.items()}
+
+
 def decode_impl_batch(
     heatmaps, pafs, cfg: InferenceConfig
 ) -> dict[str, jnp.ndarray]:
-    """Batched decode with ONE adaptive tier choice for the whole batch
-    (pair capacity AND peak-compaction capacity)."""
+    """Batched decode with adaptive tier choice per density-sorted group
+    (``cfg.decode_groups``; default 1 = one choice for the whole batch).
+    Peak-compaction capacity stays batch-global (it is cheap)."""
     flats = jax.vmap(lambda h: _masked_peak_scores(h, cfg))(heatmaps)
     b, c, n = flats.shape
     tables = _peaks.peak_tables_tiered(
@@ -263,7 +293,10 @@ def decode_impl_batch(
         cfg.peak_compact_tiers,
     )
     peaks = {k: v.reshape(b, c, -1) for k, v in tables.items()}
-    people = _two_tier_post_peaks(pafs, peaks, cfg, batched=True)
+    if cfg.decode_groups > 1 and b > 1:
+        people = _grouped_post_peaks(pafs, peaks, cfg, cfg.decode_groups)
+    else:
+        people = _two_tier_post_peaks(pafs, peaks, cfg, batched=True)
     return {
         **people,
         "peak_xs": peaks["xs"],
