@@ -99,6 +99,13 @@ class InferenceConfig:
     # multiply compiled program size by ~the group count; measured
     # round 3 (experiments/grouped_decode_r3.py).
     decode_groups: int = 1
+    # With decode_groups > 1, a runtime lax.cond first checks whether
+    # every image in the batch already selects the SAME pair tier; if so
+    # the ungrouped program runs instead (grouping cannot change any
+    # tier choice then, so the argsort/permute + sub-batch dispatch —
+    # the measured 12-25 % uniform-batch penalty — is pure overhead).
+    # Bitwise identical either way; False always runs the grouped path.
+    decode_group_adaptive: bool = True
 
     @property
     def num_scales(self) -> int:
