@@ -281,13 +281,30 @@ def _grouped_post_peaks(pafs, peaks, cfg: InferenceConfig, groups: int):
 
 
 def decode_impl_batch(
-    heatmaps, pafs, cfg: InferenceConfig
+    heatmaps, pafs, cfg: InferenceConfig, valid_hw=None
 ) -> dict[str, jnp.ndarray]:
     """Batched decode with adaptive tier choice per density-sorted group
     (``cfg.decode_groups``; default 1 = one choice for the whole batch).
-    Peak-compaction capacity stays batch-global (it is cheap)."""
+    Peak-compaction capacity stays batch-global (it is cheap).
+
+    ``valid_hw`` (optional, (B, 2) int32) restricts peak finding to the
+    per-image top-left rectangle ``[0, vh) x [0, vw)`` — the shape-bucket
+    serving path pads heterogeneous images bottom/right into one canvas
+    (the reference's own padRightDownCorner convention), and the mask
+    keeps the gray margin from ever emitting peaks. The valid region is
+    a top-left rectangle, so every PAF line integral between two valid
+    peaks stays inside it and needs no mask of its own.
+    """
     flats = jax.vmap(lambda h: _masked_peak_scores(h, cfg))(heatmaps)
     b, c, n = flats.shape
+    if valid_hw is not None:
+        w = _heat_width(heatmaps)
+        lin = jnp.arange(n, dtype=jnp.int32)
+        inside = (
+            ((lin // w)[None, :] < valid_hw[:, :1])
+            & ((lin % w)[None, :] < valid_hw[:, 1:])
+        )  # (B, N)
+        flats = jnp.where(inside[:, None, :], flats, -jnp.inf)
     tables = _peaks.peak_tables_tiered(
         flats.reshape(b * c, n), _heat_width(heatmaps), cfg.max_peaks,
         cfg.peak_compact_tiers,

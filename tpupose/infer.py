@@ -131,7 +131,8 @@ class PoseEstimator:
         return self._fns[key]
 
     def _batch_fn(self, n: int, in_h: int, in_w: int,
-                  scales: tuple[float, ...] | None = None):
+                  scales: tuple[float, ...] | None = None,
+                  masked: bool = False):
         """Fused MULTI-scale batch: (N, H, W, 3) uint8 -> batched tables.
 
         The reference's product path is the full 4-scale pyramid
@@ -140,9 +141,13 @@ class PoseEstimator:
         averages the upsampled maps on device, and decodes, so a stream
         of batches pipelines the complete product pipeline (round-1
         VERDICT missing #1: the batched paths used to silently drop to
-        the 1.0 scale)."""
+        the 1.0 scale).
+
+        With ``masked=True`` the program takes an extra (N, 2) int32
+        ``valid_hw`` operand and suppresses peaks outside each image's
+        top-left valid rectangle — the shape-bucket serving path."""
         scales = tuple(scales) if scales else self.cfg.inference.scale_search
-        key = ("batch", n, in_h, in_w, scales)
+        key = ("batch", n, in_h, in_w, scales, masked)
         if key not in self._fns:
             model = self.model
             mcfg = self.cfg.model
@@ -154,7 +159,7 @@ class PoseEstimator:
             use_ss = icfg.paf_readout == "scalespace"
 
             @jax.jit
-            def run(params, imgs_u8):
+            def run(params, imgs_u8, valid_hw=None):
                 x0 = image_ops.normalize(imgs_u8, mcfg.channel_order)
                 heat_avg = jnp.zeros((n, in_h, in_w, topology.NUM_HEAT_CHANNELS))
                 paf_avg = jnp.zeros((n, in_h, in_w, topology.NUM_PAF_CHANNELS))
@@ -188,7 +193,7 @@ class PoseEstimator:
                 )
                 # one batch-level adaptive tier choice (NOT vmap of the
                 # per-image decode: its lax.cond would become a select)
-                return decode_impl_batch(heat_in, paf_in, icfg)
+                return decode_impl_batch(heat_in, paf_in, icfg, valid_hw)
 
             self._fns[key] = run
         return self._fns[key]
@@ -234,16 +239,26 @@ class PoseEstimator:
         self,
         images: np.ndarray,
         scales: tuple[float, ...] | None = None,
+        valid_hw: np.ndarray | None = None,
     ) -> list[list[dict]]:
         """Batched product path: (N, H, W, 3) -> people per image.
 
         Runs the configured multi-scale pyramid (reference default
         4 scales); pass ``scales=(1.0,)`` for the single-scale realtime
-        variant (reference demo_camera)."""
+        variant (reference demo_camera). ``valid_hw`` ((N, 2) int32,
+        optional) marks each image's top-left valid rectangle when the
+        batch canvas carries bottom/right padding (shape buckets); peaks
+        never surface from the padded margin."""
         n, h, w = images.shape[:3]
-        tables = jax.device_get(
-            self._batch_fn(n, h, w, scales)(self.params, jnp.asarray(images))
-        )
+        fn = self._batch_fn(n, h, w, scales, masked=valid_hw is not None)
+        if valid_hw is None:
+            tables = fn(self.params, jnp.asarray(images))
+        else:
+            tables = fn(
+                self.params, jnp.asarray(images),
+                jnp.asarray(valid_hw, jnp.int32),
+            )
+        tables = jax.device_get(tables)
         return [
             to_people(jax.tree.map(lambda x: x[i], tables)) for i in range(n)
         ]

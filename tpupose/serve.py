@@ -43,12 +43,20 @@ class MicroBatcher:
     (bounded jit-cache: one compile per bucket x shape) and runs ONE
     fused batched program per group. Errors propagate to every caller
     in the failed group.
+
+    With ``buckets`` set (a ladder of (H, W) canvases, see
+    ``tpupose.buckets``), each image is aspect-preserving resized into
+    its bucket before grouping — heterogeneous request shapes batch
+    together and the jit-cache is bounded by the ladder instead of by
+    the set of shapes clients happen to send. Keypoints are mapped back
+    to original-image coordinates before returning.
     """
 
     def __init__(self, estimator, max_batch: int = 8, window_ms: float = 5.0,
-                 scales=None):
+                 scales=None, buckets=None):
         self._est = estimator
         self._scales = scales
+        self._buckets = tuple(buckets) if buckets else None
         self._max = max(1, int(max_batch))
         self._window = max(0.0, window_ms) / 1e3
         self._cv = threading.Condition()
@@ -96,24 +104,55 @@ class MicroBatcher:
             self._process(batch)
 
     def _process(self, batch: list[tuple[np.ndarray, dict]]) -> None:
-        groups: dict[tuple, list[tuple[np.ndarray, dict]]] = {}
-        for img, slot in batch:
-            groups.setdefault(img.shape, []).append((img, slot))
+        # items: (canvas, slot, valid_hw | None, inv-scale | 1.0)
+        groups: dict[tuple, list[tuple]] = {}
+        if self._buckets is None:
+            for img, slot in batch:
+                groups.setdefault(img.shape, []).append((img, slot, None, 1.0))
+        else:
+            from tpupose import buckets as _bk
+
+            for img, slot in batch:
+                bh, bw, s = _bk.choose_bucket(
+                    img.shape[0], img.shape[1], self._buckets
+                )
+                canvas, vh, vw = _bk.to_bucket(img, bh, bw, s)
+                groups.setdefault(canvas.shape, []).append(
+                    (canvas, slot, (vh, vw), s)
+                )
         for items in groups.values():
             try:
                 n = len(items)
-                imgs = np.stack([img for img, _ in items])
+                imgs = np.stack([img for img, *_ in items])
+                valid = (
+                    None if items[0][2] is None
+                    else np.asarray([it[2] for it in items], np.int32)
+                )
                 bucket = 1 << (n - 1).bit_length()
                 if bucket > n:  # pad with copies; padded outputs dropped
                     imgs = np.concatenate(
                         [imgs, np.repeat(imgs[-1:], bucket - n, axis=0)]
                     )
-                people = self._est.process_batch(imgs, scales=self._scales)
-                for (_, slot), p in zip(items, people[:n]):
+                    if valid is not None:
+                        valid = np.concatenate(
+                            [valid, np.repeat(valid[-1:], bucket - n, axis=0)]
+                        )
+                # only bucketed batches pass valid_hw: plain mode keeps
+                # the reference process_batch(images, scales) signature
+                # (tests duck-type estimators against it)
+                kw = {} if valid is None else {"valid_hw": valid}
+                people = self._est.process_batch(
+                    imgs, scales=self._scales, **kw
+                )
+                for (_, slot, _, s), p in zip(items, people[:n]):
+                    if s != 1.0:
+                        from tpupose.buckets import unscale_people
+
+                        p = unscale_people(p, s)
                     slot["people"] = p
                     slot["done"].set()
             except Exception as e:  # propagate to every waiting caller
-                for _, slot in items:
+                for _, slot, *_ in items:
                     slot["error"] = e
                     slot["done"].set()
 
@@ -187,15 +226,18 @@ def make_handler(estimator, batcher: MicroBatcher | None = None):
 
 
 def serve(estimator, host: str = "127.0.0.1", port: int = 8080,
-          max_batch: int = 1, batch_window_ms: float = 5.0, scales=None):
+          max_batch: int = 1, batch_window_ms: float = 5.0, scales=None,
+          buckets=None):
     """Returns the started ThreadingHTTPServer (caller owns shutdown).
 
     ``max_batch > 1`` enables the cross-request micro-batcher; the
     returned server carries it as ``server.batcher`` (close it after
-    shutdown)."""
+    shutdown). ``buckets`` (ladder of (H, W), see ``tpupose.buckets``)
+    bounds the compile cache over arbitrary request shapes — it routes
+    every request through the batcher even at max_batch 1."""
     batcher = (
-        MicroBatcher(estimator, max_batch, batch_window_ms, scales)
-        if max_batch > 1 else None
+        MicroBatcher(estimator, max_batch, batch_window_ms, scales, buckets)
+        if max_batch > 1 or buckets else None
     )
     server = ThreadingHTTPServer((host, port), make_handler(estimator, batcher))
     server.batcher = batcher
@@ -214,13 +256,26 @@ def main(argv=None) -> int:
     ap.add_argument("--max-batch", type=int, default=1,
                     help="> 1 enables cross-request micro-batching")
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--buckets", default=None,
+        help="shape-bucket ladder: 'default' or '368x368,368x496,...' — "
+             "bounds the compile cache over arbitrary request shapes",
+    )
     _add_common_model_args(ap)
     args = ap.parse_args(argv)
 
+    from tpupose.buckets import DEFAULT_BUCKETS, parse_buckets
+
+    bks = None
+    if args.buckets:
+        bks = (
+            DEFAULT_BUCKETS if args.buckets == "default"
+            else parse_buckets(args.buckets)
+        )
     est = PoseEstimator(_config(args), weights_path=args.weights)
     batcher = (
-        MicroBatcher(est, args.max_batch, args.batch_window_ms)
-        if args.max_batch > 1 else None
+        MicroBatcher(est, args.max_batch, args.batch_window_ms, buckets=bks)
+        if args.max_batch > 1 or bks else None
     )
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(est, batcher)
