@@ -24,4 +24,9 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # pragma: no cover - config name drift
         pass
 
+if _os.environ.get("TPUPOSE_COMPILE_CACHE"):
+    from tpupose.utils.compile_cache import enable_from_env as _ecc
+
+    _ecc()
+
 from tpupose import config, topology  # noqa: F401

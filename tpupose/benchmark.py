@@ -150,13 +150,9 @@ N_BATCHES = 24
 
 
 def _enable_compile_cache():
-    import jax
+    from tpupose.utils.compile_cache import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache("/tmp/tpupose_jax_cache", min_compile_secs=5.0)
 
 
 def _measure_stream(est, batch, scales, n_warmup, n_batches) -> float:

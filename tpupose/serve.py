@@ -261,8 +261,18 @@ def main(argv=None) -> int:
         help="shape-bucket ladder: 'default' or '368x368,368x496,...' — "
              "bounds the compile cache over arbitrary request shapes",
     )
+    ap.add_argument(
+        "--compile-cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache: warm restarts reload "
+             "compiled programs instead of paying 20-40 s each",
+    )
     _add_common_model_args(ap)
     args = ap.parse_args(argv)
+
+    if args.compile_cache:
+        from tpupose.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     from tpupose.buckets import DEFAULT_BUCKETS, parse_buckets
 
