@@ -84,6 +84,41 @@ def test_demo_image(tmp_path):
     assert os.path.exists(out_path)
 
 
+def test_demo_image_from_trained_checkpoint(tmp_path):
+    """train -> demo-image --checkpoint: the native Orbax checkpoint the
+    trainer writes loads straight into the inference CLI (no .h5 round
+    trip), and counts as pretrained."""
+    import cv2
+
+    wd = str(tmp_path / "run")
+    r = run_cli(
+        ["train", "--dataset", "synthetic", "--max-steps", "1",
+         "--batch-size", "2", "--boxsize", "64", "--stages", "1",
+         "--workdir", wd]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    img_path = str(tmp_path / "in.png")
+    cv2.imwrite(
+        img_path,
+        np.random.default_rng(1).integers(0, 255, (96, 96, 3)).astype(np.uint8),
+    )
+    r = run_cli(
+        ["demo-image", "--image", img_path, "--scales", "0.5",
+         "--stages", "1", "--boxsize", "64",
+         "--checkpoint", os.path.join(wd, "checkpoints")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "untrained" not in r.stderr
+    assert isinstance(json.loads(r.stdout), list)
+    # a bogus dir is a clean error, not a silent random-init fallback
+    r = run_cli(
+        ["demo-image", "--image", img_path, "--stages", "1",
+         "--checkpoint", str(tmp_path / "nope")]
+    )
+    assert r.returncode != 0
+    assert "no checkpoint found" in r.stderr
+
+
 def test_demo_image_missing_file():
     r = run_cli(["demo-image", "--image", "/nonexistent.png", "--stages", "1"])
     assert r.returncode == 2

@@ -21,6 +21,11 @@ import sys
 
 def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--weights", default=None, help="Keras .h5 weights (optional)")
+    p.add_argument(
+        "--checkpoint", default=None, metavar="DIR",
+        help="native Orbax checkpoint dir (from train/finetune/"
+             "convert-weights); takes precedence over --weights",
+    )
     p.add_argument("--scales", default=None,
                    help="comma-separated pyramid scales, e.g. 0.5,1,1.5,2")
     p.add_argument("--boxsize", type=int, default=None,
@@ -48,13 +53,29 @@ def _config(args) -> "PoseConfig":
     return cfg
 
 
+def _estimator(args, cfg=None) -> "PoseEstimator":
+    """PoseEstimator from the common model args: an Orbax checkpoint dir
+    (``--checkpoint``, the native format train/finetune/convert-weights
+    write) wins over reference ``--weights``."""
+    from tpupose.infer import PoseEstimator
+
+    cfg = cfg if cfg is not None else _config(args)
+    ckpt_dir = getattr(args, "checkpoint", None)
+    if ckpt_dir:
+        from tpupose.training.checkpoint import restore_params
+
+        params = restore_params(ckpt_dir)
+        if params is None:
+            raise SystemExit(f"error: no checkpoint found in {ckpt_dir}")
+        return PoseEstimator(cfg, params=params)
+    return PoseEstimator(cfg, weights_path=args.weights)
+
+
 def cmd_demo_image(args) -> int:
     import cv2
     import numpy as np
 
-    from tpupose.infer import PoseEstimator
-
-    est = PoseEstimator(_config(args), weights_path=args.weights)
+    est = _estimator(args)
     if not est.pretrained:
         print("warning: no pretrained weights loaded; output is untrained",
               file=sys.stderr)
@@ -75,9 +96,8 @@ def cmd_demo_video(args) -> int:
     import numpy as np
 
     from tpupose.config import single_scale
-    from tpupose.infer import PoseEstimator
 
-    est = PoseEstimator(single_scale(_config(args)), weights_path=args.weights)
+    est = _estimator(args, single_scale(_config(args)))
     cap = cv2.VideoCapture(int(args.input) if args.input.isdigit() else args.input)
     if not cap.isOpened():
         print(f"error: cannot open {args.input}", file=sys.stderr)
@@ -204,9 +224,8 @@ def cmd_eval(args) -> int:
     import numpy as np
 
     from tpupose.data import coco_eval, hdf5 as hdf5_io
-    from tpupose.infer import PoseEstimator
 
-    est = PoseEstimator(_config(args), weights_path=args.weights)
+    est = _estimator(args)
     preds, gts = [], []
     for i, rec in enumerate(hdf5_io.read_samples(args.dataset)):
         if args.max_images and i >= args.max_images:

@@ -247,8 +247,7 @@ def serve(estimator, host: str = "127.0.0.1", port: int = 8080,
 
 
 def main(argv=None) -> int:
-    from tpupose.cli import _add_common_model_args, _config
-    from tpupose.infer import PoseEstimator
+    from tpupose.cli import _add_common_model_args, _estimator
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
@@ -282,7 +281,7 @@ def main(argv=None) -> int:
             DEFAULT_BUCKETS if args.buckets == "default"
             else parse_buckets(args.buckets)
         )
-    est = PoseEstimator(_config(args), weights_path=args.weights)
+    est = _estimator(args)
     batcher = (
         MicroBatcher(est, args.max_batch, args.batch_window_ms, buckets=bks)
         if args.max_batch > 1 or bks else None

@@ -85,6 +85,26 @@ def latest_step(directory: str) -> int | None:
     return step
 
 
+def restore_params(directory: str) -> Any | None:
+    """Params-only restore of the latest checkpoint (inference path).
+
+    Template-free: reads whatever tree was saved (train loop, finetune,
+    ``cli convert-weights``) and returns its ``params`` sub-tree as host
+    numpy arrays — the CLI/server load adapted models this way without
+    reconstructing the optimizer state. None if the directory holds no
+    checkpoint.
+    """
+    import orbax.checkpoint as ocp
+
+    step = latest_step(directory)
+    if step is None:
+        return None
+    mgr = _manager(directory)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return restored["params"]
+
+
 def restore(directory: str, template_tree: dict[str, Any]) -> dict[str, Any] | None:
     """Restore the latest checkpoint onto a template tree; None if absent."""
     import orbax.checkpoint as ocp
