@@ -27,3 +27,9 @@ def test_compile_cache_populates_dir(tmp_path):
     finally:
         # stop persisting other tests' programs into the tmp dir
         jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass

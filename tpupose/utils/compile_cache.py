@@ -36,9 +36,19 @@ def enable_compile_cache(
             "jax_persistent_cache_min_compile_time_secs",
             float(min_compile_secs),
         )
-        return True
     except Exception:
         return False
+    try:
+        # the cache object is created lazily ONCE; if any compilation
+        # already initialised it (with a previous dir, or as disabled),
+        # the config update above would silently not take — drop it so
+        # the next compilation re-reads the config
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:
+        pass  # private-API drift: config still applies to a fresh process
+    return True
 
 
 def enable_from_env() -> bool:
