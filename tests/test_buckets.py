@@ -173,6 +173,69 @@ def test_estimator_bucketed_batch():
                 assert kp["x"] < vw and kp["y"] < vh
 
 
+# --- BucketedRunner (offline mixed-size sweeps, cli eval path) ----------------
+
+
+def _tiny_cfg():
+    from tpupose.config import PoseConfig, ModelConfig
+
+    return PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(
+            scale_search=(0.5,), max_peaks=16, max_people=16
+        ),
+    )
+
+
+def canon(people):
+    return sorted(
+        (
+            tuple(sorted(
+                (n, round(v["x"], 3), round(v["y"], 3))
+                for n, v in p["keypoints"].items()
+            )),
+            p["num_parts"],
+        )
+        for p in people
+    )
+
+
+def test_bucketed_runner_exact_fit_matches_process_batch():
+    """Images exactly bucket-sized take scale 1 with a full valid extent:
+    the runner's output must equal the plain batched program's."""
+    from tpupose.buckets import BucketedRunner
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(_tiny_cfg())
+    rng = np.random.default_rng(21)
+    imgs = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    runner = BucketedRunner(est, buckets=((64, 64),), batch_size=3)
+    got = runner.process_many(imgs)
+    want = est.process_batch(np.stack(imgs))
+    assert [canon(g) for g in got] == [canon(w) for w in want]
+
+
+def test_bucketed_runner_mixed_shapes_ordered_and_bounded():
+    from tpupose.buckets import BucketedRunner
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(_tiny_cfg())
+    rng = np.random.default_rng(22)
+    shapes = [(40, 56), (64, 64), (100, 70), (64, 64), (30, 90)]
+    imgs = [(rng.random(s + (3,)) * 255).astype(np.uint8) for s in shapes]
+    runner = BucketedRunner(
+        est, buckets=((64, 64), (64, 96)), batch_size=2
+    )
+    got = runner.process_many(imgs)
+    assert len(got) == len(imgs)
+    for plist, (h, w) in zip(got, shapes):
+        for p in plist:
+            for kp in p["keypoints"].values():
+                assert 0 <= kp["x"] < w and 0 <= kp["y"] < h
+    geoms = {k[2:4] for k in est._fns if k[0] == "batch"}
+    assert geoms <= {(64, 64), (64, 96)}, geoms
+
+
 # --- MicroBatcher bucket path -------------------------------------------------
 
 

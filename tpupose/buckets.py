@@ -132,6 +132,71 @@ def to_bucket(
     return canvas, vh, vw
 
 
+class BucketedRunner:
+    """Offline mixed-size batch processing over the bucket ladder.
+
+    ``cli eval`` (and any dataset sweep) feeds images of arbitrary
+    shapes; processing them one-by-one compiles a program per distinct
+    geometry — free for the reference's eager pipeline, prohibitive
+    under jit on a real COCO-like set. The runner maps every image into
+    its bucket, accumulates per-bucket batches of ``batch_size``, runs
+    each as ONE fused masked program (``process_batch(valid_hw=...)``),
+    and returns people in original-image coordinates and input order.
+    """
+
+    def __init__(self, estimator, buckets=DEFAULT_BUCKETS, scales=None,
+                 batch_size: int = 8):
+        self._est = estimator
+        self._buckets = tuple(buckets)
+        self._scales = scales
+        self._bs = max(1, int(batch_size))
+        # bucket shape -> list of (input-order index, canvas, (vh, vw), scale)
+        self._pending: dict[tuple, list] = {}
+        self._results: dict[int, list[dict]] = {}
+        self._n = 0
+
+    def add(self, image: np.ndarray) -> int:
+        """Queue one image; returns its input-order index."""
+        idx = self._n
+        self._n += 1
+        h, w = image.shape[:2]
+        bh, bw, s = choose_bucket(h, w, self._buckets)
+        canvas, vh, vw = to_bucket(image, bh, bw, s)
+        items = self._pending.setdefault((bh, bw), [])
+        items.append((idx, canvas, (vh, vw), s))
+        if len(items) >= self._bs:
+            self._flush((bh, bw))
+        return idx
+
+    def _flush(self, key: tuple) -> None:
+        items = self._pending.pop(key, [])
+        if not items:
+            return
+        imgs = np.stack([c for _, c, _, _ in items])
+        valid = np.asarray([v for _, _, v, _ in items], np.int32)
+        n = len(items)
+        pad = self._bs - n if n < self._bs else 0
+        if pad:  # keep one program geometry per bucket
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            valid = np.concatenate([valid, np.repeat(valid[-1:], pad, axis=0)])
+        people = self._est.process_batch(
+            imgs, scales=self._scales, valid_hw=valid
+        )
+        for (idx, _, _, s), p in zip(items, people[:n]):
+            self._results[idx] = unscale_people(p, s)
+
+    def finish(self) -> list[list[dict]]:
+        """Flush remainders; returns people per image in input order."""
+        for key in list(self._pending):
+            self._flush(key)
+        return [self._results[i] for i in range(self._n)]
+
+    def process_many(self, images) -> list[list[dict]]:
+        for img in images:
+            self.add(img)
+        return self.finish()
+
+
 def unscale_people(people: list[dict], scale: float) -> list[dict]:
     """Map bucket-canvas keypoint coordinates back to the original image."""
     if scale == 1.0:

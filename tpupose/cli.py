@@ -226,12 +226,23 @@ def cmd_eval(args) -> int:
     from tpupose.data import coco_eval, hdf5 as hdf5_io
 
     est = _estimator(args)
+    runner = None
+    if getattr(args, "buckets", None):
+        from tpupose.buckets import BucketedRunner, DEFAULT_BUCKETS, parse_buckets
+
+        bks = (
+            DEFAULT_BUCKETS if args.buckets == "default"
+            else parse_buckets(args.buckets)
+        )
+        runner = BucketedRunner(est, bks, batch_size=args.eval_batch)
     preds, gts = [], []
     for i, rec in enumerate(hdf5_io.read_samples(args.dataset)):
         if args.max_images and i >= args.max_images:
             break
-        out = est.process(rec["image"])
-        preds.append(out["people"])
+        if runner is not None:
+            runner.add(rec["image"])
+        else:
+            preds.append(est.process(rec["image"])["people"])
         # real GT areas ride the records (bbox-estimated by the reader
         # for pre-round-2 files without them) — OKS is exponential in area
         gts.append(
@@ -241,6 +252,8 @@ def cmd_eval(args) -> int:
                 if (j[:, 2] < 2).any()
             ]
         )
+    if runner is not None:
+        preds = runner.finish()
     res = coco_eval.evaluate(preds, gts)
     print(json.dumps(res))
     return 0
@@ -319,6 +332,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval", help="OKS keypoint AP over a packed dataset")
     p.add_argument("--dataset", required=True)
     p.add_argument("--max-images", type=int, default=0)
+    p.add_argument(
+        "--buckets", default=None,
+        help="'default' or 'HxW,...' — batch mixed-size images through "
+             "the canvas ladder (bounded compiles; one fused program "
+             "per bucket) instead of one program per distinct shape",
+    )
+    p.add_argument("--eval-batch", type=int, default=8,
+                   help="batch size per bucket with --buckets")
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_eval)
 
