@@ -72,6 +72,71 @@ def test_unknown_path(server):
     assert c.getresponse().status == 404
 
 
+def test_metrics_endpoint(server):
+    """/metrics reflects traffic: request/error counts and latency
+    percentiles advance as requests land (serve() wires ServeMetrics
+    into the handler even without a batcher)."""
+    import cv2
+
+    img = np.random.default_rng(5).integers(0, 255, (96, 96, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".png", img)
+    assert ok
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    before = json.loads(c.getresponse().read())
+    c = _conn(server)
+    c.request("POST", "/pose", body=enc.tobytes())
+    assert c.getresponse().status == 200
+    c = _conn(server)
+    c.request("POST", "/pose", body=b"junk")          # 400 -> error count
+    assert c.getresponse().status == 400
+    c = _conn(server)
+    c.request("GET", "/metrics")
+    after = json.loads(c.getresponse().read())
+    assert after["requests"] == before["requests"] + 2
+    assert after["errors"] == before["errors"] + 1
+    assert after["latency_ms"]["p50"] is not None
+    assert after["latency_ms"]["p99"] >= after["latency_ms"]["p50"]
+
+
+def test_metrics_batch_engagement():
+    """With the micro-batcher active, /metrics reports the mean device
+    batch size so a deploy can see whether batching actually engages."""
+    import cv2
+    from tpupose.serve import ServeMetrics  # noqa: F401 (public surface)
+
+    cfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5,), max_peaks=16,
+                                  max_people=16),
+    )
+    est = PoseEstimator(cfg)
+    srv = serve(est, port=0, max_batch=4, batch_window_ms=50.0)
+    try:
+        img = np.random.default_rng(6).integers(0, 255, (96, 96, 3)).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".png", img)
+
+        def post(_):
+            c = _conn(srv)
+            c.request("POST", "/pose", body=enc.tobytes())
+            return c.getresponse().status
+
+        # warm the program so the timed wave actually coalesces
+        assert post(0) == 200
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            assert list(ex.map(post, range(4))) == [200] * 4
+        c = _conn(srv)
+        c.request("GET", "/metrics")
+        m = json.loads(c.getresponse().read())
+        assert m["batches"] >= 1 and m["mean_batch"] is not None
+        assert m["mean_batch"] > 1.0   # the concurrent wave coalesced
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 # --- micro-batched mode (round-2 VERDICT weak #8) ----------------------------
 
 

@@ -4,6 +4,8 @@ Production-serving counterpart of the reference's demo scripts: a
 threaded stdlib HTTP server around one PoseEstimator. Endpoints:
 
   GET  /healthz          -> {"status": "ok", "pretrained": bool}
+  GET  /metrics          -> request/error counts, latency p50/p90/p99,
+                            micro-batch engagement (mean device batch)
   POST /pose             -> people JSON for one encoded (jpg/png) image
   POST /pose?draw=1      -> adds a base64 PNG skeleton overlay
 
@@ -53,8 +55,9 @@ class MicroBatcher:
     """
 
     def __init__(self, estimator, max_batch: int = 8, window_ms: float = 5.0,
-                 scales=None, buckets=None):
+                 scales=None, buckets=None, metrics=None):
         self._est = estimator
+        self._metrics = metrics
         self._scales = scales
         self._buckets = tuple(buckets) if buckets else None
         self._max = max(1, int(max_batch))
@@ -144,6 +147,8 @@ class MicroBatcher:
                 people = self._est.process_batch(
                     imgs, scales=self._scales, **kw
                 )
+                if self._metrics is not None:
+                    self._metrics.record_batch(n)
                 for (_, slot, _, s), p in zip(items, people[:n]):
                     if s != 1.0:
                         from tpupose.buckets import unscale_people
@@ -157,7 +162,62 @@ class MicroBatcher:
                     slot["done"].set()
 
 
-def make_handler(estimator, batcher: MicroBatcher | None = None):
+class ServeMetrics:
+    """Lock-guarded serving counters for the ``/metrics`` endpoint.
+
+    Tracks request count, errors, a bounded reservoir of recent request
+    latencies (wall, from body-read to reply) and the device-batch sizes
+    the micro-batcher actually ran — the operational signals a deploy
+    watches (is batching engaging? what is tail latency?).
+    """
+
+    RESERVOIR = 1024
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self._lat: list[float] = []   # ring buffer, seconds
+        self._lat_pos = 0
+        self.batches = 0
+        self.batched_images = 0
+
+    def record(self, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            if len(self._lat) < self.RESERVOIR:
+                self._lat.append(seconds)
+            else:
+                self._lat[self._lat_pos] = seconds
+                self._lat_pos = (self._lat_pos + 1) % self.RESERVOIR
+
+    def record_batch(self, n_images: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batched_images += n_images
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            n = len(lat)
+            pick = lambda q: (lat[min(n - 1, int(q * n))] * 1e3) if n else None  # noqa: E731
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "latency_ms": {
+                    "p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99),
+                },
+                "batches": self.batches,
+                "mean_batch": (
+                    self.batched_images / self.batches if self.batches else None
+                ),
+            }
+
+
+def make_handler(estimator, batcher: MicroBatcher | None = None,
+                 metrics: ServeMetrics | None = None):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -174,6 +234,8 @@ def make_handler(estimator, batcher: MicroBatcher | None = None):
                 self._reply(
                     200, {"status": "ok", "pretrained": estimator.pretrained}
                 )
+            elif self.path == "/metrics" and metrics is not None:
+                self._reply(200, metrics.snapshot())
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -181,6 +243,8 @@ def make_handler(estimator, batcher: MicroBatcher | None = None):
             if not self.path.startswith("/pose"):
                 self._reply(404, {"error": "unknown path"})
                 return
+            t0 = time.perf_counter()
+            ok_req = False
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if n <= 0:
@@ -216,8 +280,12 @@ def make_handler(estimator, batcher: MicroBatcher | None = None):
                             png.tobytes()
                         ).decode()
                 self._reply(200, resp)
+                ok_req = True
             except Exception as e:  # pragma: no cover - defensive
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                if metrics is not None:
+                    metrics.record(time.perf_counter() - t0, error=not ok_req)
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -235,12 +303,17 @@ def serve(estimator, host: str = "127.0.0.1", port: int = 8080,
     shutdown). ``buckets`` (ladder of (H, W), see ``tpupose.buckets``)
     bounds the compile cache over arbitrary request shapes — it routes
     every request through the batcher even at max_batch 1."""
+    metrics = ServeMetrics()
     batcher = (
-        MicroBatcher(estimator, max_batch, batch_window_ms, scales, buckets)
+        MicroBatcher(estimator, max_batch, batch_window_ms, scales, buckets,
+                     metrics)
         if max_batch > 1 or buckets else None
     )
-    server = ThreadingHTTPServer((host, port), make_handler(estimator, batcher))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(estimator, batcher, metrics)
+    )
     server.batcher = batcher
+    server.metrics = metrics
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
@@ -282,12 +355,14 @@ def main(argv=None) -> int:
             else parse_buckets(args.buckets)
         )
     est = _estimator(args)
+    metrics = ServeMetrics()
     batcher = (
-        MicroBatcher(est, args.max_batch, args.batch_window_ms, buckets=bks)
+        MicroBatcher(est, args.max_batch, args.batch_window_ms, buckets=bks,
+                     metrics=metrics)
         if args.max_batch > 1 or bks else None
     )
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(est, batcher)
+        (args.host, args.port), make_handler(est, batcher, metrics)
     )
     print(f"serving on http://{args.host}:{args.port}  (pretrained={est.pretrained})")
     try:
