@@ -98,6 +98,11 @@ def cmd_demo_video(args) -> int:
     from tpupose.config import single_scale
 
     est = _estimator(args, single_scale(_config(args)))
+    tracker = None
+    if getattr(args, "track", False):
+        from tpupose.tracking import PoseTracker
+
+        tracker = PoseTracker(smoothing=args.smooth)
     cap = cv2.VideoCapture(int(args.input) if args.input.isdigit() else args.input)
     if not cap.isOpened():
         print(f"error: cannot open {args.input}", file=sys.stderr)
@@ -125,7 +130,21 @@ def cmd_demo_video(args) -> int:
     def drain_one(pending):
         nonlocal writer, n
         frame0, tables = pending.popleft()
-        canvas = draw_people(frame0, to_people(jax.device_get(tables)))
+        people = to_people(jax.device_get(tables))
+        if tracker is not None:
+            people = tracker.update(people)
+        canvas = draw_people(frame0, people)
+        if tracker is not None:
+            for p in people:   # stable id label at the person's top joint
+                if not p["keypoints"]:
+                    continue
+                top = min(p["keypoints"].values(), key=lambda kp: kp["y"])
+                cv2.putText(
+                    canvas, f"#{p['track_id']}",
+                    (int(top["x"]), max(12, int(top["y"]) - 6)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1,
+                    cv2.LINE_AA,
+                )
         if args.output:
             if writer is None:
                 writer = cv2.VideoWriter(
@@ -310,6 +329,11 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True, help="video path or camera index")
     p.add_argument("--output", default=None, help="output video path")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--track", action="store_true",
+                   help="assign stable person ids across frames "
+                        "(tpupose.tracking.PoseTracker)")
+    p.add_argument("--smooth", type=float, default=0.0,
+                   help="keypoint EMA factor in [0,1) with --track")
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_demo_video)
 
