@@ -145,13 +145,19 @@ class BucketedRunner:
     """
 
     def __init__(self, estimator, buckets=DEFAULT_BUCKETS, scales=None,
-                 batch_size: int = 8):
+                 batch_size: int = 8, depth: int = 2):
         self._est = estimator
         self._buckets = tuple(buckets)
         self._scales = scales
         self._bs = max(1, int(batch_size))
+        self._depth = max(0, int(depth))
         # bucket shape -> list of (input-order index, canvas, (vh, vw), scale)
         self._pending: dict[tuple, list] = {}
+        # dispatched-but-unresolved: (items, n, on-device tables); keeps
+        # up to ``depth`` device batches in flight so host<->device
+        # transfers overlap compute across buckets (same contract as
+        # PoseEstimator.stream)
+        self._inflight: list[tuple] = []
         self._results: dict[int, list[dict]] = {}
         self._n = 0
 
@@ -179,16 +185,25 @@ class BucketedRunner:
         if pad:  # keep one program geometry per bucket
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
             valid = np.concatenate([valid, np.repeat(valid[-1:], pad, axis=0)])
-        people = self._est.process_batch(
+        nb, tables = self._est.process_batch_async(
             imgs, scales=self._scales, valid_hw=valid
         )
-        for (idx, _, _, s), p in zip(items, people[:n]):
+        self._inflight.append((items, nb, tables))
+        while len(self._inflight) > self._depth:
+            self._resolve_one()
+
+    def _resolve_one(self) -> None:
+        items, nb, tables = self._inflight.pop(0)
+        people = self._est._finish(nb, tables)
+        for (idx, _, _, s), p in zip(items, people[: len(items)]):
             self._results[idx] = unscale_people(p, s)
 
     def finish(self) -> list[list[dict]]:
         """Flush remainders; returns people per image in input order."""
         for key in list(self._pending):
             self._flush(key)
+        while self._inflight:
+            self._resolve_one()
         return [self._results[i] for i in range(self._n)]
 
     def process_many(self, images) -> list[list[dict]]:

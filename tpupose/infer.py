@@ -249,6 +249,20 @@ class PoseEstimator:
         optional) marks each image's top-left valid rectangle when the
         batch canvas carries bottom/right padding (shape buckets); peaks
         never surface from the padded margin."""
+        n, tables = self.process_batch_async(images, scales, valid_hw)
+        return self._finish(n, tables)
+
+    def process_batch_async(
+        self,
+        images: np.ndarray,
+        scales: tuple[float, ...] | None = None,
+        valid_hw: np.ndarray | None = None,
+    ):
+        """Dispatch the batched program; returns (n, on-device tables).
+
+        No host sync: resolve with ``PoseEstimator._finish(n, tables)``.
+        Lets callers keep several batches in flight (``stream`` does this
+        for uniform batches; ``buckets.BucketedRunner`` for mixed)."""
         n, h, w = images.shape[:3]
         fn = self._batch_fn(n, h, w, scales, masked=valid_hw is not None)
         if valid_hw is None:
@@ -258,10 +272,7 @@ class PoseEstimator:
                 self.params, jnp.asarray(images),
                 jnp.asarray(valid_hw, jnp.int32),
             )
-        tables = jax.device_get(tables)
-        return [
-            to_people(jax.tree.map(lambda x: x[i], tables)) for i in range(n)
-        ]
+        return n, tables
 
     def stream(
         self,
