@@ -89,6 +89,42 @@ def test_batching_and_prefetch(tmp_path, rng):
     assert b["centers"].shape == (2, 2) and b["scales"].shape == (2,)
 
 
+def test_hdf5_batches_sharding_partitions_epoch(tmp_path, rng):
+    """shard=(i, n): hosts read disjoint record slices whose union is
+    the full (seed-identical shuffled) epoch — the multi-host DP data
+    contract. Identified by each image's unique top-left pixel."""
+    cfg = PoseConfig(train=TrainConfig(batch_size=1),
+                     augment=AugmentConfig(max_persons=3))
+    path = str(tmp_path / "ds.h5")
+    with hdf5_io.SampleWriter(path) as w:
+        for i in range(6):
+            s = make_sample(rng)
+            s["image"][:16, :16] = (i, i, i)   # record fingerprint block
+            # (survives the letterbox resample at the (0, 0) corner)
+            w.add(s["image"], s["mask"], s["joints"], s["center"],
+                  s["scale_provided"])
+
+    def fingerprints(shard):
+        out = []
+        for b in pipeline.hdf5_batches(path, cfg, epochs=1, shard=shard):
+            # pad_sample letterboxes; top-left content pixel survives at (0,0)
+            out.append(int(b["images"][0, 0, 0, 0]))
+        return out
+
+    full = fingerprints(None)
+    s0 = fingerprints((0, 2))
+    s1 = fingerprints((1, 2))
+    assert len(s0) == 3 and len(s1) == 3
+    assert sorted(s0 + s1) == sorted(full)
+    assert not set(s0) & set(s1)
+    # "auto" in a single-process run reads everything
+    assert fingerprints("auto") == full
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(pipeline.hdf5_batches(path, cfg, epochs=1, shard=(2, 2)))
+
+
 def test_prefetch_propagates_errors():
     def bad():
         yield 1

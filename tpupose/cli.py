@@ -213,7 +213,9 @@ def _run_training(args, frozen_vgg: bool) -> int:
     if args.dataset == "synthetic":
         batches = pipeline.synthetic_batches(cfg, n_batches=args.max_steps or 10)
     else:
-        batches = pipeline.hdf5_batches(args.dataset, cfg)
+        # shard="auto": under jax.distributed each host feeds its own
+        # disjoint record slice; single-process runs read everything
+        batches = pipeline.hdf5_batches(args.dataset, cfg, shard="auto")
 
     result = loop.train(
         cfg, batches, params=params, workdir=args.workdir,

@@ -128,17 +128,41 @@ def hdf5_batches(
     shuffle_seed: int | None = 0,
     prefetch_depth: int = 2,
     num_workers: int = 4,
+    shard: tuple[int, int] | str | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """The standard training feed: packed HDF5 -> padded, prefetched batches.
 
     ``num_workers`` sizes the sample-prep thread pool (1 = serial, for
-    deterministic debugging)."""
+    deterministic debugging).
+
+    ``shard=(index, count)`` makes this process read every count-th
+    record starting at index — the multi-host data-parallel contract
+    (each host feeds its own disjoint slice; the shuffled order is
+    seed-identical across hosts, so the slices partition each epoch
+    exactly). ``shard="auto"`` reads the live ``jax.process_index()`` /
+    ``process_count()``; None (default) reads everything."""
+
+    if shard == "auto":
+        import jax
+
+        shard = (jax.process_index(), jax.process_count())
+    if shard is not None:
+        s_idx, s_cnt = shard
+        if not 0 <= s_idx < s_cnt:
+            raise ValueError(f"bad shard {shard!r}")
+        if s_cnt == 1:
+            shard = None
 
     def epochs_iter():
         counter = itertools.count() if epochs is None else range(epochs)
         for e in counter:
             seed = None if shuffle_seed is None else shuffle_seed + e
-            yield from hdf5_io.read_samples(path, shuffle_seed=seed)
+            it = hdf5_io.read_samples(path, shuffle_seed=seed)
+            if shard is not None:
+                it = (
+                    s for i, s in enumerate(it) if i % s_cnt == s_idx
+                )
+            yield from it
 
     batches = batch_samples(
         epochs_iter(),
