@@ -13,6 +13,7 @@ from tpupose.utils.compile_cache import enable_compile_cache
 
 
 def test_compile_cache_populates_dir(tmp_path):
+    prev = jax.config.jax_compilation_cache_dir
     d = str(tmp_path / "cache")
     assert enable_compile_cache(d, min_compile_secs=0.0)
     try:
@@ -25,8 +26,10 @@ def test_compile_cache_populates_dir(tmp_path):
         entries = list((tmp_path / "cache").iterdir())
         assert entries, "no cache entries written"
     finally:
-        # stop persisting other tests' programs into the tmp dir
-        jax.config.update("jax_compilation_cache_dir", None)
+        # restore the SUITE's cache dir (conftest points it at the
+        # shared /tmp cache; leaving it on tmp_path — or None — would
+        # run the rest of the compile-bound suite uncached)
+        jax.config.update("jax_compilation_cache_dir", prev)
         try:
             from jax._src import compilation_cache as _cc
 
