@@ -78,6 +78,25 @@ def main() -> int:
     tree, losses = step(tree, jax.random.PRNGKey(1), batch)
     loss = float(jax.device_get(losses["total"]))
     assert np.isfinite(loss)
+
+    # the multi-host DATA contract: shard="auto" resolves to this
+    # process's (index, count) and each host reads a disjoint slice of
+    # the same shuffled epoch (parent asserts disjointness + coverage)
+    if len(sys.argv) > 3:
+        from tpupose.data import pipeline
+
+        ds_cfg = PoseConfig(
+            augment=AugmentConfig(max_persons=2),
+            train=TrainConfig(batch_size=1),
+        )
+        fps = []
+        for b in pipeline.hdf5_batches(
+            sys.argv[3], ds_cfg, target_h=64, target_w=64, epochs=1,
+            shard="auto", num_workers=1,
+        ):
+            fps.append(int(b["images"][0, 0, 0, 0]))
+        print(f"SHARD_FPS {','.join(map(str, fps))}", flush=True)
+
     print(f"MULTIHOST_OK {loss:.6f}", flush=True)
     return 0
 

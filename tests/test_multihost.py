@@ -21,7 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
+def test_two_process_distributed_train_step(tmp_path):
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -31,9 +31,28 @@ def test_two_process_distributed_train_step():
     env["PYTHONPATH"] = os.pathsep.join(
         [repo_root] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
     )
+
+    # a fingerprinted 6-record dataset for the shard="auto" leg
+    import numpy as np
+
+    from tpupose.data import hdf5 as hdf5_io
+
+    ds = str(tmp_path / "ds.h5")
+    rng = np.random.default_rng(0)
+    with hdf5_io.SampleWriter(ds) as w:
+        for i in range(6):
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            img[:16, :16] = (i, i, i)
+            joints = np.full((1, 18, 3), 2.0, np.float32)
+            joints[0, :, 0] = rng.uniform(10, 54, 18)
+            joints[0, :, 1] = rng.uniform(10, 54, 18)
+            joints[0, :, 2] = 0.0
+            w.add(img, np.full((64, 64), 255, np.uint8), joints,
+                  np.asarray([32.0, 32.0], np.float32), 0.8)
+
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(port)],
+            [sys.executable, WORKER, str(pid), str(port), ds],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -52,9 +71,15 @@ def test_two_process_distributed_train_step():
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
-    losses = []
+    losses, shards = [], []
     for out in outs:
         marker = [ln for ln in out.splitlines() if ln.startswith("MULTIHOST_OK")]
         assert marker, out
         losses.append(float(marker[0].split()[1]))
+        fps = [ln for ln in out.splitlines() if ln.startswith("SHARD_FPS")]
+        assert fps, out
+        shards.append({int(x) for x in fps[0].split(" ", 1)[1].split(",")})
     assert losses[0] == losses[1]  # both hosts computed the same global loss
+    # shard="auto" split the epoch disjointly and covered every record
+    assert not shards[0] & shards[1]
+    assert shards[0] | shards[1] == set(range(6))
