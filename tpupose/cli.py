@@ -32,6 +32,12 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
                    help="override canonical input size (default 368)")
     p.add_argument("--stages", type=int, default=None,
                    help="override number of refinement stages (default 6)")
+    p.add_argument(
+        "--decode-groups", type=int, default=None,
+        help="density-sort batches into N groups with per-group decode "
+             "tiers (crowd-mixed batches up to 4.3x; adaptive cond makes "
+             "uniform batches ~free; compile time grows with N)",
+    )
 
 
 def _config(args) -> "PoseConfig":
@@ -49,6 +55,13 @@ def _config(args) -> "PoseConfig":
     if getattr(args, "stages", None):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, num_stages=args.stages)
+        )
+    if getattr(args, "decode_groups", None):
+        cfg = dataclasses.replace(
+            cfg,
+            inference=dataclasses.replace(
+                cfg.inference, decode_groups=args.decode_groups
+            ),
         )
     return cfg
 
