@@ -215,6 +215,36 @@ def test_bucketed_runner_exact_fit_matches_process_batch():
     assert [canon(g) for g in got] == [canon(w) for w in want]
 
 
+def test_bucketed_runner_reusable_after_finish():
+    """finish() resets the sweep: a second process_many returns exactly
+    its own inputs' results (no stale indices from the first sweep)."""
+    from tpupose.buckets import BucketedRunner
+    from tpupose.infer import PoseEstimator
+
+    est = PoseEstimator(_tiny_cfg())
+    rng = np.random.default_rng(33)
+    runner = BucketedRunner(est, buckets=((64, 64),), batch_size=2)
+    first = runner.process_many(
+        [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    )
+    assert len(first) == 2
+    second = runner.process_many(
+        [(rng.random((48, 40, 3)) * 255).astype(np.uint8)]
+    )
+    assert len(second) == 1
+
+
+def test_parse_buckets_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        parse_buckets("")
+    with pytest.raises(ValueError, match="bad bucket"):
+        parse_buckets("368x368x3")
+    # trailing comma / whitespace tolerated
+    assert parse_buckets(" 368x368 ,") == ((368, 368),)
+
+
 def test_bucketed_runner_mixed_shapes_ordered_and_bounded():
     from tpupose.buckets import BucketedRunner
     from tpupose.infer import PoseEstimator

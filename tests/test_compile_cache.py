@@ -14,6 +14,7 @@ from tpupose.utils.compile_cache import enable_compile_cache
 
 def test_compile_cache_populates_dir(tmp_path):
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     d = str(tmp_path / "cache")
     assert enable_compile_cache(d, min_compile_secs=0.0)
     try:
@@ -26,10 +27,14 @@ def test_compile_cache_populates_dir(tmp_path):
         entries = list((tmp_path / "cache").iterdir())
         assert entries, "no cache entries written"
     finally:
-        # restore the SUITE's cache dir (conftest points it at the
-        # shared /tmp cache; leaving it on tmp_path — or None — would
-        # run the rest of the compile-bound suite uncached)
+        # restore the SUITE's cache config (conftest points it at the
+        # shared /tmp cache with a 1 s persistence threshold; leaving
+        # tmp_path/None or the 0 s threshold would run the rest of the
+        # compile-bound suite uncached / churn trivial entries)
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
         try:
             from jax._src import compilation_cache as _cc
 

@@ -125,6 +125,27 @@ def test_hdf5_batches_sharding_partitions_epoch(tmp_path, rng):
         list(pipeline.hdf5_batches(path, cfg, epochs=1, shard=(2, 2)))
 
 
+def test_hdf5_batches_ragged_shards_stay_lockstep(tmp_path, rng):
+    """7 records / 2 shards: every shard truncates to floor(7/2) = 3
+    records so all hosts yield the SAME number of batches — a ragged
+    shard would strand the longer host inside a collective the shorter
+    one never enters (multi-host deadlock)."""
+    cfg = PoseConfig(train=TrainConfig(batch_size=1),
+                     augment=AugmentConfig(max_persons=3))
+    path = str(tmp_path / "ds.h5")
+    with hdf5_io.SampleWriter(path) as w:
+        for _ in range(7):
+            s = make_sample(rng)
+            w.add(s["image"], s["mask"], s["joints"], s["center"],
+                  s["scale_provided"])
+    counts = [
+        sum(1 for _ in pipeline.hdf5_batches(path, cfg, epochs=1, shard=(i, 2)))
+        for i in (0, 1)
+    ]
+    assert counts == [3, 3]
+    assert hdf5_io.num_samples(path) == 7
+
+
 def test_prefetch_propagates_errors():
     def bad():
         yield 1

@@ -43,8 +43,13 @@ def parse_buckets(spec: str) -> tuple[tuple[int, int], ...]:
     """``"368x368,368x496"`` -> ((368, 368), (368, 496))."""
     out = []
     for item in spec.split(","):
-        h, w = item.lower().split("x")
-        out.append((int(h), int(w)))
+        item = item.strip()
+        if not item:
+            continue
+        parts = item.lower().split("x")
+        if len(parts) != 2:
+            raise ValueError(f"bad bucket {item!r}: expected HxW")
+        out.append((int(parts[0]), int(parts[1])))
     if not out:
         raise ValueError("empty bucket spec")
     return tuple(out)
@@ -199,12 +204,18 @@ class BucketedRunner:
             self._results[idx] = unscale_people(p, s)
 
     def finish(self) -> list[list[dict]]:
-        """Flush remainders; returns people per image in input order."""
+        """Flush remainders; returns people per image in input order.
+
+        Resets the runner: a subsequent add/process_many starts a fresh
+        sweep (indices and results from the finished one don't leak)."""
         for key in list(self._pending):
             self._flush(key)
         while self._inflight:
             self._resolve_one()
-        return [self._results[i] for i in range(self._n)]
+        out = [self._results[i] for i in range(self._n)]
+        self._results = {}
+        self._n = 0
+        return out
 
     def process_many(self, images) -> list[list[dict]]:
         for img in images:

@@ -209,7 +209,18 @@ def _run_training(args, frozen_vgg: bool) -> int:
     cfg = dataclasses.replace(cfg, train=train_cfg)
 
     params = None
-    if args.weights:
+    if getattr(args, "checkpoint", None):
+        # initial params from a native Orbax checkpoint (the promised
+        # precedence over --weights); the workdir's own checkpoints
+        # still win for resume inside loop.train
+        from tpupose.training.checkpoint import restore_params
+
+        params = restore_params(args.checkpoint)
+        if params is None:
+            print(f"error: no checkpoint found in {args.checkpoint}",
+                  file=sys.stderr)
+            return 2
+    elif args.weights:
         import jax
         import jax.numpy as jnp
 

@@ -84,6 +84,14 @@ class SampleWriter:
         self.close()
 
 
+def num_samples(path: str) -> int:
+    """Record count without reading any data (shard sizing)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return len(f["datum"].keys())
+
+
 def read_samples(path: str, shuffle_seed: int | None = None) -> Iterator[dict]:
     """Yields raw dicts: image, mask, joints, center, scale_provided, areas.
 

@@ -138,20 +138,26 @@ def hdf5_batches(
     ``shard=(index, count)`` makes this process read every count-th
     record starting at index — the multi-host data-parallel contract
     (each host feeds its own disjoint slice; the shuffled order is
-    seed-identical across hosts, so the slices partition each epoch
-    exactly). ``shard="auto"`` reads the live ``jax.process_index()`` /
+    seed-identical across hosts). Every shard is truncated to
+    ``num_records // count`` records per epoch so ALL hosts yield the
+    same number of batches: a ragged shard would leave one host inside
+    a collective the others never enter (multi-host deadlock on finite
+    feeds). ``shard="auto"`` reads the live ``jax.process_index()`` /
     ``process_count()``; None (default) reads everything."""
 
     if shard == "auto":
         import jax
 
         shard = (jax.process_index(), jax.process_count())
+    per_shard = None
     if shard is not None:
         s_idx, s_cnt = shard
         if not 0 <= s_idx < s_cnt:
             raise ValueError(f"bad shard {shard!r}")
         if s_cnt == 1:
             shard = None
+        else:
+            per_shard = hdf5_io.num_samples(path) // s_cnt
 
     def epochs_iter():
         counter = itertools.count() if epochs is None else range(epochs)
@@ -159,8 +165,9 @@ def hdf5_batches(
             seed = None if shuffle_seed is None else shuffle_seed + e
             it = hdf5_io.read_samples(path, shuffle_seed=seed)
             if shard is not None:
-                it = (
-                    s for i, s in enumerate(it) if i % s_cnt == s_idx
+                it = itertools.islice(
+                    (s for i, s in enumerate(it) if i % s_cnt == s_idx),
+                    per_shard,
                 )
             yield from it
 

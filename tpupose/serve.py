@@ -355,20 +355,22 @@ def main(argv=None) -> int:
             else parse_buckets(args.buckets)
         )
     est = _estimator(args)
-    metrics = ServeMetrics()
-    batcher = (
-        MicroBatcher(est, args.max_batch, args.batch_window_ms, buckets=bks,
-                     metrics=metrics)
-        if args.max_batch > 1 or bks else None
-    )
-    server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(est, batcher, metrics)
+    # one wiring path: main() uses serve() so the CLI and the embedded
+    # API can never diverge (batcher/metrics attach the same way)
+    server = serve(
+        est, host=args.host, port=args.port, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms, buckets=bks,
     )
     print(f"serving on http://{args.host}:{args.port}  (pretrained={est.pretrained})")
     try:
-        server.serve_forever()
+        while True:
+            time.sleep(3600)
     except KeyboardInterrupt:
         pass
+    finally:
+        server.shutdown()
+        if server.batcher is not None:
+            server.batcher.close()
     return 0
 
 
