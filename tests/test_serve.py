@@ -72,6 +72,51 @@ def test_unknown_path(server):
     assert c.getresponse().status == 404
 
 
+def test_oversized_body_rejected_413(server):
+    """Bodies over the limit are refused before any decode work."""
+    c = _conn(server)
+    c.putrequest("POST", "/pose")
+    c.putheader("Content-Length", str(64 << 20))
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 413
+    assert "exceeds limit" in json.loads(r.read())["error"]
+
+
+def test_bucketed_draw_overlay_in_original_frame():
+    """?draw=1 with buckets: the overlay canvas has the ORIGINAL image
+    shape (keypoints were unscaled before drawing)."""
+    import cv2
+
+    cfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5,), max_peaks=16,
+                                  max_people=16),
+    )
+    est = PoseEstimator(cfg)
+    srv = serve(est, port=0, max_batch=2, batch_window_ms=5.0,
+                buckets=((64, 64),))
+    try:
+        img = np.random.default_rng(8).integers(0, 255, (100, 80, 3)).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".png", img)
+        c = _conn(srv)
+        c.request("POST", "/pose?draw=1", body=enc.tobytes())
+        r = c.getresponse()
+        assert r.status == 200
+        body = json.loads(r.read())
+        png = base64.b64decode(body["overlay_png_b64"])
+        overlay = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert overlay.shape == (100, 80, 3)
+        for p in body["people"]:
+            for kp in p["keypoints"].values():
+                assert 0 <= kp["x"] < 80 and 0 <= kp["y"] < 100
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_metrics_endpoint(server):
     """/metrics reflects traffic: request/error counts and latency
     percentiles advance as requests land (serve() wires ServeMetrics

@@ -217,7 +217,8 @@ class ServeMetrics:
 
 
 def make_handler(estimator, batcher: MicroBatcher | None = None,
-                 metrics: ServeMetrics | None = None):
+                 metrics: ServeMetrics | None = None,
+                 max_body_bytes: int = 32 << 20):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -249,6 +250,12 @@ def make_handler(estimator, batcher: MicroBatcher | None = None,
                 n = int(self.headers.get("Content-Length", "0"))
                 if n <= 0:
                     self._reply(400, {"error": "empty body"})
+                    return
+                if n > max_body_bytes:
+                    self._reply(413, {
+                        "error": f"body {n} bytes exceeds limit "
+                                 f"{max_body_bytes}"
+                    })
                     return
                 data = self.rfile.read(n)
                 import cv2
