@@ -21,7 +21,7 @@ from tpupose.buckets import (
     unscale_people,
 )
 from tpupose.config import InferenceConfig
-from tpupose.decode.api import decode_impl_batch
+from tpupose.decode.api import decode_maps_batch
 from tpupose.decode.peaks import gaussian_blur
 
 
@@ -102,7 +102,7 @@ def _fields(n=2, h=48, w=48):
 
 def test_valid_hw_full_extent_is_identity():
     heats, pafs = _fields()
-    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    run = decode_maps_batch  # module-level jit: one compile per program per process
     cfg = InferenceConfig()
     base = jax.device_get(run(heats, pafs, cfg))
     full = np.asarray([[48, 48], [48, 48]], np.int32)
@@ -115,7 +115,7 @@ def test_valid_hw_full_extent_is_identity():
 
 def test_valid_hw_masks_margin_peaks():
     heats, pafs = _fields()
-    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    run = decode_maps_batch  # module-level jit: one compile per program per process
     cfg = InferenceConfig()
     base = jax.device_get(run(heats, pafs, cfg))
     # the unmasked smooth field must have peaks beyond the 24x24 window

@@ -11,7 +11,7 @@ import jax
 
 from tpupose.config import InferenceConfig
 from tpupose.decode import decode_maps, to_people
-from tpupose.decode.api import decode_impl_batch
+from tpupose.decode.api import decode_maps_batch
 from tpupose.decode.peaks import gaussian_blur
 
 
@@ -73,7 +73,7 @@ def test_grouped_decode_bitwise_identical():
         pafs.append(smooth_field(seed + 50, 96, 96, 38, sigma, 3.0))
     heats = np.stack(heats)
     pafs = np.stack(pafs)
-    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    run = decode_maps_batch  # module-level jit: one compile per program per process
     base = jax.device_get(run(heats, pafs, InferenceConfig()))
     for groups in (2, 4):
         cfg = InferenceConfig(decode_groups=groups)
@@ -119,7 +119,7 @@ def test_batched_decode_matches_per_image():
     heats = np.stack(heats)
     pafs = np.stack(pafs)
     batched = jax.device_get(
-        jax.jit(decode_impl_batch, static_argnames="cfg")(heats, pafs, cfg)
+        decode_maps_batch(heats, pafs, cfg)
     )
     for i in range(2):
         single = jax.device_get(decode_maps(heats[i], pafs[i], cfg))

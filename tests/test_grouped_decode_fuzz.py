@@ -23,7 +23,7 @@ import jax
 
 from tpupose.config import InferenceConfig, with_scales
 from tpupose.decode import decode_maps, to_people
-from tpupose.decode.api import decode_impl_batch
+from tpupose.decode.api import decode_maps_batch
 from tpupose.decode.peaks import gaussian_blur
 
 
@@ -65,7 +65,7 @@ def mixed_batch(seed0, n=8, h=96, w=96):
 @pytest.mark.parametrize("groups", [2, 3, 8])
 def test_grouped_fuzz_bitwise_and_twin(seed0, groups):
     heats, pafs = mixed_batch(seed0)
-    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    run = decode_maps_batch  # module-level jit: one compile per program per process
     base = jax.device_get(run(heats, pafs, InferenceConfig()))
     # both the always-grouped program and the adaptive one (runtime cond
     # between ungrouped/grouped on tier uniformity) must be bitwise
@@ -103,7 +103,7 @@ def test_grouped_adaptive_uniform_batch():
         heats.append(smooth_field(70 + i, 96, 96, 19, 8.0, 4.0))
         pafs.append(smooth_field(170 + i, 96, 96, 38, 8.0, 3.0))
     heats, pafs = np.stack(heats), np.stack(pafs)
-    run = jax.jit(decode_impl_batch, static_argnames="cfg")
+    run = decode_maps_batch  # module-level jit: one compile per program per process
     base = jax.device_get(run(heats, pafs, InferenceConfig()))
     for adaptive in (True, False):
         cfg = InferenceConfig(decode_groups=4, decode_group_adaptive=adaptive)
