@@ -29,8 +29,20 @@ if os.environ.get("TPUPOSE_DEBUG_NANS"):
 
 # Persistent compilation cache: the suite is compile-bound; repeated runs
 # hit the cache instead of re-lowering the 52M-param model.
+#
+# READS stay on; WRITES are off by default: serializing one of the big
+# multi-device decode executables for the cache write segfaults/aborts
+# XLA's CPU backend once a suite process has accumulated enough prior
+# compiles (reproduced 3x at the same test on an idle machine; the same
+# compile+write succeeds in a fresh process — upstream serialization
+# bug at scale, TPU unaffected). TPUPOSE_CACHE_WRITE=1 re-enables
+# writes to (re)populate the cache via per-file runs, where the bug
+# does not trigger.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    1.0 if os.environ.get("TPUPOSE_CACHE_WRITE") else 1e9,
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
