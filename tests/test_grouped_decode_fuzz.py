@@ -15,6 +15,7 @@ the constructed cases in test_decode_two_tier.py:
 """
 
 import dataclasses as dc
+import os
 
 import numpy as np
 import pytest
@@ -115,9 +116,9 @@ def test_grouped_adaptive_uniform_batch():
             )
 
 
-def test_grouped_decode_under_dp_sharding():
-    """decode_groups > 1 with the batch sharded over the 8-device mesh:
-    the density argsort/unpermute crosses shard boundaries; results must
+def _dp_sharding_check():
+    """decode_groups > 1 with the batch sharded over the mesh: the
+    density argsort/unpermute crosses shard boundaries; results must
     equal the unsharded grouped estimator. Batch 6 on 4 devices also
     exercises the padding rows (blank images sort to the sparse end)."""
     from tpupose.infer import PoseEstimator
@@ -138,3 +139,30 @@ def test_grouped_decode_under_dp_sharding():
     got_dp = dp_process_batch(est_grp, images, make_mesh(4))
     assert [canon(p) for p in got_local] == [canon(p) for p in want]
     assert [canon(p) for p in got_dp] == [canon(p) for p in want]
+    print("DP_SHARDING_OK")
+
+
+def test_grouped_decode_under_dp_sharding():
+    """Runs ``_dp_sharding_check`` in a FRESH subprocess: after ~90
+    suite tests' accumulated compiles, this program's compile aborts /
+    segfaults inside XLA's CPU backend_compile_and_load (reproduced 3x
+    on an idle machine, with and without persistent-cache writes); the
+    identical check passes every time in a fresh process, so the
+    quarantine preserves full coverage while stepping around the
+    upstream crash. The TPU path is unaffected."""
+    import subprocess
+    import sys
+
+    code = (
+        "from tests.test_grouped_decode_fuzz import _dp_sharding_check; "
+        "_dp_sharding_check()"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd=repo, timeout=1500,
+    )
+    assert r.returncode == 0, f"worker failed:\n{r.stdout}\n{r.stderr[-3000:]}"
+    assert "DP_SHARDING_OK" in r.stdout
