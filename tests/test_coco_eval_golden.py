@@ -162,3 +162,20 @@ def test_greedy_matching_prefers_best_oks_not_first_gt():
     res = coco_eval.evaluate(preds, gts)
     # tp=[1] against total_gt=2 -> recall 0.5, precision 1 -> AP = 51/101
     np.testing.assert_allclose(res["AP50"], 51 / 101, rtol=1e-9)
+
+
+def test_detection_area_includes_placeholder_slots():
+    """loadRes parity: a detection's extent box spans ALL keypoint
+    slots, so absent keypoints at their (0, 0) placeholder stretch it
+    toward the origin — the pycocotools quirk the area-partitioned
+    metrics (AP_M/AP_L) depend on."""
+    partial = {
+        "keypoints": {
+            "nose": {"x": 100.0, "y": 100.0, "score": 0.9},
+            "neck": {"x": 110.0, "y": 105.0, "score": 0.9},
+        },
+        "score": 1.0, "num_parts": 2,
+    }
+    kps, _ = coco_eval.people_to_array([partial])
+    # present-only extent would be 10 x 5 = 50; loadRes spans (0,0)
+    assert coco_eval.detection_area(kps[0]) == 110.0 * 105.0

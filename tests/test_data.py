@@ -343,3 +343,20 @@ def test_area_plumbing_prep_to_eval(tmp_path, rng):
     big["mask"] = np.ones((736, 736), np.float32)
     padded = hdf5_io.pad_sample(big, 368, 368, max_persons=3)
     np.testing.assert_allclose(padded["areas"][:2], [125.0, 225.0])
+
+
+def test_hdf5_batches_more_shards_than_records_raises(tmp_path, rng):
+    """Fewer records than shards would truncate every shard to zero and
+    (with epochs=None) busy-spin yielding nothing forever — it must
+    fail loudly at construction instead."""
+    import pytest
+
+    cfg = PoseConfig(train=TrainConfig(batch_size=1),
+                     augment=AugmentConfig(max_persons=3))
+    path = str(tmp_path / "tiny.h5")
+    with hdf5_io.SampleWriter(path) as w:
+        s = make_sample(rng)
+        w.add(s["image"], s["mask"], s["joints"], s["center"],
+              s["scale_provided"])
+    with pytest.raises(ValueError, match="fewer records"):
+        pipeline.hdf5_batches(path, cfg, epochs=None, shard=(0, 4))

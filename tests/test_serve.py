@@ -133,13 +133,14 @@ def test_metrics_endpoint(server):
     c.request("POST", "/pose", body=enc.tobytes())
     assert c.getresponse().status == 200
     c = _conn(server)
-    c.request("POST", "/pose", body=b"junk")          # 400 -> error count
+    c.request("POST", "/pose", body=b"junk")    # 400 -> client_errors only
     assert c.getresponse().status == 400
     c = _conn(server)
     c.request("GET", "/metrics")
     after = json.loads(c.getresponse().read())
     assert after["requests"] == before["requests"] + 2
-    assert after["errors"] == before["errors"] + 1
+    assert after["client_errors"] == before["client_errors"] + 1
+    assert after["errors"] == before["errors"]  # 4xx must not alert as 5xx
     assert after["latency_ms"]["p50"] is not None
     assert after["latency_ms"]["p99"] >= after["latency_ms"]["p50"]
 
@@ -279,5 +280,27 @@ def test_microbatcher_error_propagates():
     try:
         with pytest.raises(RuntimeError, match="boom"):
             mb.submit(np.zeros((8, 8, 3), np.uint8))
+    finally:
+        mb.close()
+
+
+def test_microbatcher_survives_malformed_image():
+    """One malformed submission (zero-height: bucketing divides by its
+    height) fails ITS request only; the worker thread survives and
+    keeps serving subsequent requests."""
+    from tpupose.buckets import DEFAULT_BUCKETS
+    from tpupose.serve import MicroBatcher
+
+    class FakeEstimator:
+        def process_batch(self, imgs, scales=None, valid_hw=None):
+            return [[{"ok": 1.0}] for _ in range(len(imgs))]
+
+    mb = MicroBatcher(FakeEstimator(), max_batch=2, window_ms=1.0,
+                      buckets=DEFAULT_BUCKETS)
+    try:
+        with pytest.raises(Exception):
+            mb.submit(np.zeros((0, 16, 3), np.uint8))
+        people = mb.submit(np.zeros((16, 16, 3), np.uint8))
+        assert people == [{"ok": 1.0}]
     finally:
         mb.close()

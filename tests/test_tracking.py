@@ -96,3 +96,20 @@ def test_smoothing_validation():
 
     with pytest.raises(ValueError):
         PoseTracker(smoothing=1.0)
+
+
+def test_sparse_track_keeps_id_under_motion():
+    """A person detected with ONE keypoint has zero bbox extent; the
+    min_diag floor keeps pixel-scale motion matchable (radius
+    max_cost * min_diag px/frame) instead of opening a new id every
+    frame."""
+
+    def solo(x):
+        return {"keypoints": {"nose": {"x": x, "y": 100.0, "score": 0.9}},
+                "score": 1.0, "num_parts": 1}
+
+    tr = PoseTracker()
+    a = tr.update([solo(100.0)])
+    for step in range(1, 6):
+        out = tr.update([solo(100.0 + 3.0 * step)])
+        assert out[0]["track_id"] == a[0]["track_id"]

@@ -55,6 +55,15 @@ def parse_buckets(spec: str) -> tuple[tuple[int, int], ...]:
     return tuple(out)
 
 
+def resolve_buckets(spec: str | None) -> tuple[tuple[int, int], ...] | None:
+    """CLI ``--buckets`` value -> ladder (None / "default" / "HxW,...")."""
+    if not spec:
+        return None
+    if spec == "default":
+        return DEFAULT_BUCKETS
+    return parse_buckets(spec)
+
+
 def choose_bucket(
     h: int, w: int, buckets: tuple[tuple[int, int], ...]
 ) -> tuple[int, int, float]:

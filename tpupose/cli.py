@@ -273,13 +273,11 @@ def cmd_eval(args) -> int:
     est = _estimator(args)
     runner = None
     if getattr(args, "buckets", None):
-        from tpupose.buckets import BucketedRunner, DEFAULT_BUCKETS, parse_buckets
+        from tpupose.buckets import BucketedRunner, resolve_buckets
 
-        bks = (
-            DEFAULT_BUCKETS if args.buckets == "default"
-            else parse_buckets(args.buckets)
+        runner = BucketedRunner(
+            est, resolve_buckets(args.buckets), batch_size=args.eval_batch
         )
-        runner = BucketedRunner(est, bks, batch_size=args.eval_batch)
     preds, gts = [], []
     for i, rec in enumerate(hdf5_io.read_samples(args.dataset)):
         if args.max_images and i >= args.max_images:

@@ -71,13 +71,14 @@ AREA_RNG = {
 
 
 def detection_area(kps: np.ndarray) -> float:
-    """Keypoint-extent bbox area of one (18, 3) detection — what
-    pycocotools' ``COCO.loadRes`` computes for keypoint results (there
-    is no segmentation on a keypoint detection)."""
-    present = kps[:, 2] < 2
-    if not present.any():
-        return 0.0
-    xs, ys = kps[present, 0], kps[present, 1]
+    """Keypoint-extent bbox area of one (18, 3) detection, exactly as
+    pycocotools' ``COCO.loadRes`` computes it for keypoint results:
+    the extent spans ALL keypoint slots, INCLUDING absent ones sitting
+    at their (0, 0) placeholder. That loadRes quirk stretches the box
+    toward the origin for partial detections; it is reproduced here so
+    the area-partitioned metrics (AP_M/AP_L/AR_M/AR_L) match what a
+    pycocotools summary would report on the same people JSON."""
+    xs, ys = kps[:, 0], kps[:, 1]
     return float((xs.max() - xs.min()) * (ys.max() - ys.min()))
 
 
@@ -92,37 +93,35 @@ def _to_internal(kp) -> np.ndarray:
     raise ValueError(f"GT keypoints must be (17|18, 3), got {kp.shape}")
 
 
-def _eval_image(det_kps, det_scores, gt_kps, gt_areas, arng, max_dets):
+def _eval_image(scores, ious, dt_areas, gt_areas, arng):
     """COCOeval.evaluateImg for one image / one area range.
 
-    Returns (scores (D,), tp (D, T) bool, dt_ig (D, T) bool, npig) where
-    D = min(#dets, max_dets) in score order. GT outside the area range
-    are IGNORED: they can still absorb a detection (which then counts
-    neither TP nor FP), and they don't count toward recall's
-    denominator. Unmatched detections whose own (keypoint-extent) area
-    falls outside the range are ignored too, exactly as COCOeval does.
+    ``scores`` (D,), ``ious`` (D, G) and ``dt_areas`` (D,) are
+    precomputed once per image — the area range only affects ignore
+    flags, never the similarities (the same hoist COCOeval makes:
+    computeIoU runs once, evaluateImg per range). Returns
+    (tp (D, T) bool, dt_ig (D, T) bool, npig) with D = min(#dets,
+    max_dets) in score order. GT outside the area range are IGNORED:
+    they can still absorb a detection (which then counts neither TP nor
+    FP), and they don't count toward recall's denominator. Unmatched
+    detections whose own (keypoint-extent) area falls outside the range
+    are ignored too, exactly as COCOeval does.
     """
     n_thr = len(OKS_THRESHOLDS)
-    order = np.argsort(-det_scores, kind="stable")[:max_dets]
-    n_gt = len(gt_kps)
+    n_det = len(scores)
+    n_gt = len(gt_areas)
     gt_ig = np.asarray(
         [not (arng[0] <= a <= arng[1]) for a in gt_areas], bool
     )
     # gts sorted ignored-last (stable), COCOeval's gtind
     gt_order = np.argsort(gt_ig, kind="stable")
 
-    ious = np.zeros((len(order), n_gt))
-    for r, di in enumerate(order):
-        for gj in range(n_gt):
-            ious[r, gj] = oks(det_kps[di], gt_kps[gj], gt_areas[gj])
-
-    tp = np.zeros((len(order), n_thr), bool)
-    dt_ig = np.zeros((len(order), n_thr), bool)
-    dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
+    tp = np.zeros((n_det, n_thr), bool)
+    dt_ig = np.zeros((n_det, n_thr), bool)
     dt_out = ~((arng[0] <= dt_areas) & (dt_areas <= arng[1]))
     for thr_i, thr in enumerate(OKS_THRESHOLDS):
         gt_matched = np.zeros(n_gt, bool)
-        for r in range(len(order)):
+        for r in range(n_det):
             best_iou = min(thr, 1 - 1e-10)
             m = -1
             for gj in gt_order:
@@ -143,7 +142,7 @@ def _eval_image(det_kps, det_scores, gt_kps, gt_areas, arng, max_dets):
             else:
                 dt_ig[r, thr_i] = dt_out[r]
     npig = int((~gt_ig).sum())
-    return det_scores[order], tp, dt_ig, npig
+    return tp, dt_ig, npig
 
 
 def _accumulate(scores, tps, igs, total_gt):
@@ -206,10 +205,16 @@ def evaluate(
         gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
         gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
         det_kps, det_scores = people_to_array(preds)
+        # OKS matrix + detection areas once per image (range-independent)
+        order = np.argsort(-det_scores, kind="stable")[:max_dets]
+        ious = np.zeros((len(order), len(gt_kps)))
+        for r, di in enumerate(order):
+            for gj in range(len(gt_kps)):
+                ious[r, gj] = oks(det_kps[di], gt_kps[gj], gt_areas[gj])
+        dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
+        sc = det_scores[order]
         for name, arng in AREA_RNG.items():
-            sc, tp, ig, npig = _eval_image(
-                det_kps, det_scores, gt_kps, gt_areas, arng, max_dets
-            )
+            tp, ig, npig = _eval_image(sc, ious, dt_areas, gt_areas, arng)
             acc = per_rng[name]
             acc["scores"].extend(float(s) for s in sc)
             acc["tp"].extend(tp)

@@ -158,6 +158,13 @@ def hdf5_batches(
             shard = None
         else:
             per_shard = hdf5_io.num_samples(path) // s_cnt
+            if per_shard == 0:
+                # with default epochs=None this would otherwise busy-spin
+                # yielding nothing forever — fail loudly instead
+                raise ValueError(
+                    f"dataset {path!r} has fewer records "
+                    f"({hdf5_io.num_samples(path)}) than shards ({s_cnt})"
+                )
 
     def epochs_iter():
         counter = itertools.count() if epochs is None else range(epochs)

@@ -104,7 +104,15 @@ class MicroBatcher:
                     self._cv.wait(timeout=remaining)
                 batch = self._queue[: self._max]
                 del self._queue[: self._max]
-            self._process(batch)
+            try:
+                self._process(batch)
+            except BaseException as e:  # backstop: the worker must survive
+                for _, slot in batch:
+                    if not slot["done"].is_set():
+                        slot["error"] = e if isinstance(e, Exception) else (
+                            RuntimeError(f"batch worker failed: {e!r}")
+                        )
+                        slot["done"].set()
 
     def _process(self, batch: list[tuple[np.ndarray, dict]]) -> None:
         # items: (canvas, slot, valid_hw | None, inv-scale | 1.0)
@@ -116,10 +124,17 @@ class MicroBatcher:
             from tpupose import buckets as _bk
 
             for img, slot in batch:
-                bh, bw, s = _bk.choose_bucket(
-                    img.shape[0], img.shape[1], self._buckets
-                )
-                canvas, vh, vw = _bk.to_bucket(img, bh, bw, s)
+                # per-item: a malformed image (wrong ndim/zero-sized) must
+                # fail ITS request, not kill the worker for the whole batch
+                try:
+                    bh, bw, s = _bk.choose_bucket(
+                        img.shape[0], img.shape[1], self._buckets
+                    )
+                    canvas, vh, vw = _bk.to_bucket(img, bh, bw, s)
+                except Exception as e:
+                    slot["error"] = e
+                    slot["done"].set()
+                    continue
                 groups.setdefault(canvas.shape, []).append(
                     (canvas, slot, (vh, vw), s)
                 )
@@ -165,10 +180,12 @@ class MicroBatcher:
 class ServeMetrics:
     """Lock-guarded serving counters for the ``/metrics`` endpoint.
 
-    Tracks request count, errors, a bounded reservoir of recent request
-    latencies (wall, from body-read to reply) and the device-batch sizes
-    the micro-batcher actually ran — the operational signals a deploy
-    watches (is batching engaging? what is tail latency?).
+    Tracks request count, errors (split server 5xx vs client 4xx — the
+    alertable signal must not climb on routine junk uploads), a bounded
+    reservoir of recent request latencies (wall, from body-read to
+    reply) and the device-batch sizes the micro-batcher actually ran —
+    the operational signals a deploy watches (is batching engaging?
+    what is tail latency?).
     """
 
     RESERVOIR = 1024
@@ -176,17 +193,20 @@ class ServeMetrics:
     def __init__(self):
         self._lock = threading.Lock()
         self.requests = 0
-        self.errors = 0
+        self.errors = 0          # 5xx: inference/server failures
+        self.client_errors = 0   # 4xx: bad requests (junk bodies, 413s)
         self._lat: list[float] = []   # ring buffer, seconds
         self._lat_pos = 0
         self.batches = 0
         self.batched_images = 0
 
-    def record(self, seconds: float, error: bool = False) -> None:
+    def record(self, seconds: float, status: int = 200) -> None:
         with self._lock:
             self.requests += 1
-            if error:
+            if status >= 500:
                 self.errors += 1
+            elif status >= 400:
+                self.client_errors += 1
             if len(self._lat) < self.RESERVOIR:
                 self._lat.append(seconds)
             else:
@@ -206,6 +226,7 @@ class ServeMetrics:
             return {
                 "requests": self.requests,
                 "errors": self.errors,
+                "client_errors": self.client_errors,
                 "latency_ms": {
                     "p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99),
                 },
@@ -223,6 +244,7 @@ def make_handler(estimator, batcher: MicroBatcher | None = None,
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict) -> None:
+            self._last_status = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -245,7 +267,6 @@ def make_handler(estimator, batcher: MicroBatcher | None = None,
                 self._reply(404, {"error": "unknown path"})
                 return
             t0 = time.perf_counter()
-            ok_req = False
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if n <= 0:
@@ -287,12 +308,14 @@ def make_handler(estimator, batcher: MicroBatcher | None = None,
                             png.tobytes()
                         ).decode()
                 self._reply(200, resp)
-                ok_req = True
             except Exception as e:  # pragma: no cover - defensive
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 if metrics is not None:
-                    metrics.record(time.perf_counter() - t0, error=not ok_req)
+                    metrics.record(
+                        time.perf_counter() - t0,
+                        status=getattr(self, "_last_status", 500),
+                    )
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -353,14 +376,9 @@ def main(argv=None) -> int:
 
         enable_compile_cache(args.compile_cache)
 
-    from tpupose.buckets import DEFAULT_BUCKETS, parse_buckets
+    from tpupose.buckets import resolve_buckets
 
-    bks = None
-    if args.buckets:
-        bks = (
-            DEFAULT_BUCKETS if args.buckets == "default"
-            else parse_buckets(args.buckets)
-        )
+    bks = resolve_buckets(args.buckets)
     est = _estimator(args)
     # one wiring path: main() uses serve() so the CLI and the embedded
     # API can never diverge (batcher/metrics attach the same way)

@@ -31,16 +31,19 @@ class _Track:
     missed: int = 0
 
 
-def _diag(kps: dict[str, dict[str, float]]) -> float:
+def _diag(kps: dict[str, dict[str, float]], floor: float) -> float:
     xs = [v["x"] for v in kps.values()]
     ys = [v["y"] for v in kps.values()]
     if not xs:
-        return 1.0
+        return floor
     d = math.hypot(max(xs) - min(xs), max(ys) - min(ys))
-    return max(d, 1.0)
+    # floor: a sparse track (one visible keypoint -> zero extent)
+    # under-represents body scale; without it the cost degenerates to
+    # raw pixels and any motion at all exceeds max_cost (id churn)
+    return max(d, floor)
 
 
-def _cost(track: _Track, person: dict) -> float | None:
+def _cost(track: _Track, person: dict, min_diag: float) -> float | None:
     """Mean shared-keypoint L2 / track bbox diagonal; None if disjoint."""
     shared = set(track.keypoints) & set(person["keypoints"])
     if not shared:
@@ -50,7 +53,7 @@ def _cost(track: _Track, person: dict) -> float | None:
         a = track.keypoints[name]
         b = person["keypoints"][name]
         d += math.hypot(a["x"] - b["x"], a["y"] - b["y"])
-    return d / len(shared) / _diag(track.keypoints)
+    return d / len(shared) / _diag(track.keypoints, min_diag)
 
 
 class PoseTracker:
@@ -62,12 +65,16 @@ class PoseTracker:
     """
 
     def __init__(self, max_cost: float = 0.5, max_missed: int = 10,
-                 smoothing: float = 0.0):
+                 smoothing: float = 0.0, min_diag: float = 32.0):
         if not 0.0 <= smoothing < 1.0:
             raise ValueError("smoothing must be in [0, 1)")
         self.max_cost = max_cost
         self.max_missed = max_missed
         self.smoothing = smoothing
+        # matching radius floor for sparse tracks: a track whose visible
+        # keypoints span less than min_diag px still matches motion up
+        # to max_cost * min_diag px per frame
+        self.min_diag = min_diag
         self._tracks: list[_Track] = []
         self._next_id = 0
 
@@ -76,7 +83,7 @@ class PoseTracker:
         cands = []
         for ti, tr in enumerate(self._tracks):
             for pi, p in enumerate(people):
-                c = _cost(tr, p)
+                c = _cost(tr, p, self.min_diag)
                 if c is not None and c <= self.max_cost:
                     cands.append((c, ti, pi))
         cands.sort(key=lambda t: t[0])
