@@ -161,3 +161,60 @@ def test_sharded_pyramid_device_count_invariance(rng):
         np.testing.assert_allclose(
             tables[1][k], tables[2][k], atol=1e-4, err_msg=k
         )
+
+
+def test_data_scale_mesh_2d_matches_single_device(rng):
+    """DP x scale-parallel composed in ONE program: the batched pyramid
+    on a 2-D ('data', 'scale') mesh — 2-way image batch x 2-way scales
+    on 4 devices — must reproduce the same program run on one device."""
+    from tpupose.parallel.pyramid import (
+        build_sharded_pyramid_batch_fn,
+        data_scale_mesh,
+    )
+    from jax.sharding import Mesh
+
+    cfg = PoseConfig(
+        model=ModelConfig(boxsize=64, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5, 1.0), max_peaks=16,
+                                  max_people=16),
+    )
+    model = OpenPose(num_stages=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+
+    mesh_2d = data_scale_mesh(2, devices=jax.devices()[:4])
+    assert dict(mesh_2d.shape) == {"data": 2, "scale": 2}
+    mesh_1 = Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "scale")
+    )
+
+    tables = {}
+    for name, mesh in (("one", mesh_1), ("grid", mesh_2d)):
+        fn = build_sharded_pyramid_batch_fn(model, cfg, mesh, 2, 64, 64)
+        tables[name] = jax.device_get(fn(params, jnp.asarray(images)))
+
+    for k in tables["one"]:
+        np.testing.assert_allclose(
+            tables["one"][k], tables["grid"][k], atol=1e-4, err_msg=k
+        )
+
+
+def test_sharded_process_batch_pads_to_data_axis(rng):
+    """3 images on a ('data'=2, 'scale'=2) mesh: the odd batch pads to 4
+    rows on-device and returns exactly 3 results."""
+    from tpupose.infer import PoseEstimator
+    from tpupose.parallel.pyramid import data_scale_mesh, sharded_process_batch
+
+    cfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5, 1.0), max_peaks=16,
+                                  max_people=16),
+    )
+    est = PoseEstimator(cfg)
+    images = rng.integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    out = sharded_process_batch(
+        est, images, data_scale_mesh(2, devices=jax.devices()[:4])
+    )
+    assert len(out) == 3
+    assert all(isinstance(o["people"], list) for o in out)

@@ -98,6 +98,19 @@ def upsample_to(
     return resize_bilinear(full, out_h, out_w)
 
 
+def upsample_to_batch(
+    maps: jnp.ndarray, rh: int, rw: int, out_h: int, out_w: int,
+    stride: int = 8,
+) -> jnp.ndarray:
+    """``upsample_to`` over a kept batch axis: (B, ph/stride, pw/stride,
+    C) -> (B, out_h, out_w, C), same upsample/crop/resize chain."""
+    ph = maps.shape[1]
+    pw = maps.shape[2]
+    full = resize_bilinear(maps, ph * stride, pw * stride)
+    full = full[:, :rh, :rw, :]
+    return resize_bilinear(full, out_h, out_w)
+
+
 def normalize(img: jnp.ndarray, channel_order: str = "bgr") -> jnp.ndarray:
     """Reference preprocessing contract: img/256 - 0.5 on BGR pixels.
 
