@@ -38,7 +38,30 @@ if os.environ.get("TPUPOSE_DEBUG_NANS"):
 # bug at scale, TPU unaffected). TPUPOSE_CACHE_WRITE=1 re-enables
 # writes to (re)populate the cache via per-file runs, where the bug
 # does not trigger.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpupose_jax_cache")
+# The cache dir carries a host fingerprint: XLA:CPU AOT executables are
+# compiled for the exact machine's feature set, and loading blobs cached
+# on a different host fails the feature check on every read (pure
+# overhead + error spam). A new machine starts a fresh cache instead.
+def _host_tag() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            # x86 exposes "flags", aarch64 "Features" — take whichever
+            isa = next(
+                (ln for ln in f
+                 if ln.startswith(("flags", "Features"))), ""
+            )
+    except OSError:
+        isa = ""
+    raw = f"{platform.machine()}:{isa}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:8]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/tpupose_jax_cache_{_host_tag()}"
+)
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs",
     1.0 if os.environ.get("TPUPOSE_CACHE_WRITE") else 1e9,

@@ -90,12 +90,7 @@ def upsample_to(
     crop the pad back to (rh, rw), then resize to the original (out_h,
     out_w). ``maps`` is (1, ph/stride, pw/stride, C).
     """
-    ph = maps.shape[1]
-    pw = maps.shape[2]
-    # one fused bilinear to the padded full-res, then crop + final resize
-    full = resize_bilinear(maps, ph * stride, pw * stride)[0]
-    full = full[:rh, :rw, :]
-    return resize_bilinear(full, out_h, out_w)
+    return upsample_to_batch(maps, rh, rw, out_h, out_w, stride)[0]
 
 
 def upsample_to_batch(
@@ -103,9 +98,10 @@ def upsample_to_batch(
     stride: int = 8,
 ) -> jnp.ndarray:
     """``upsample_to`` over a kept batch axis: (B, ph/stride, pw/stride,
-    C) -> (B, out_h, out_w, C), same upsample/crop/resize chain."""
+    C) -> (B, out_h, out_w, C)."""
     ph = maps.shape[1]
     pw = maps.shape[2]
+    # one fused bilinear to the padded full-res, then crop + final resize
     full = resize_bilinear(maps, ph * stride, pw * stride)
     full = full[:, :rh, :rw, :]
     return resize_bilinear(full, out_h, out_w)

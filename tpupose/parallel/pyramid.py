@@ -109,6 +109,20 @@ def data_scale_mesh(n_scale_shards: int, devices=None) -> Mesh:
     return Mesh(grid, ("data", "scale"))
 
 
+def default_data_scale_mesh(n_scales: int) -> Mesh:
+    """Largest even ('data', 'scale') factorization of the available
+    devices: the scale axis is the biggest divisor of the device count
+    that also divides the scale count (degrading gracefully — 8 devices
+    with 3 scales gives an (8, 1) mesh rather than an error, mirroring
+    ``scale_mesh``)."""
+    n_dev = len(jax.devices())
+    s = 1
+    for d in range(1, min(n_scales, n_dev) + 1):
+        if n_scales % d == 0 and n_dev % d == 0:
+            s = d
+    return data_scale_mesh(s)
+
+
 def build_sharded_pyramid_batch_fn(
     model: Any, cfg: PoseConfig, mesh: Mesh, batch: int, in_h: int, in_w: int
 ):
@@ -179,7 +193,7 @@ def sharded_process_batch(
     """
     from tpupose.decode import to_people
 
-    mesh = mesh or data_scale_mesh(
+    mesh = mesh or default_data_scale_mesh(
         len(estimator.cfg.inference.scale_search)
     )
     n, h, w = images.shape[:3]
@@ -188,18 +202,20 @@ def sharded_process_batch(
     if n_pad:
         blanks = np.zeros((n_pad, h, w, images.shape[3]), images.dtype)
         images = np.concatenate([images, blanks])
+    # key on shape too: the same devices factor into different
+    # ('data', 'scale') grids, and the program bakes its mesh in
     devs = tuple(int(d.id) for d in mesh.devices.flat)
-    key = ("sharded2d", n + n_pad, h, w, devs)
+    key = ("sharded2d", n + n_pad, h, w, devs, tuple(mesh.shape.items()))
     if key not in estimator._fns:
         estimator._fns[key] = build_sharded_pyramid_batch_fn(
             estimator.model, estimator.cfg, mesh, n + n_pad, h, w
         )
+    sharded = jax.device_put(
+        np.ascontiguousarray(np.asarray(images, np.uint8)),
+        NamedSharding(mesh, P("data")),
+    )
     with mesh:
-        tables = jax.device_get(
-            estimator._fns[key](
-                estimator.params, jnp.asarray(images, jnp.uint8)
-            )
-        )
+        tables = jax.device_get(estimator._fns[key](estimator.params, sharded))
     return [
         {"people": to_people(jax.tree.map(lambda x, i=i: x[i], tables))}
         for i in range(n)
