@@ -271,8 +271,49 @@ def _measure_train(batch_size: int = 16, iters: int = 12) -> dict:
     }
 
 
+def _probe_backend(timeout_s: float = 600.0) -> str | None:
+    """Error string if the accelerator backend is unreachable, else None.
+
+    The tunneled chip can HANG at init rather than error (observed
+    2026-08-18: ``jax.devices()`` blocked > 15 min while the relay was
+    down), so the probe runs in a daemon thread with a deadline — a
+    clean one-line diagnosis beats a wedged benchmark process."""
+    import threading
+
+    import jax
+
+    result: dict = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # backend init failure
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return f"accelerator backend init unresponsive after {timeout_s:.0f}s"
+    return result.get("error")
+
+
 def main(baseline_cache: str | None = None):
     _enable_compile_cache()
+    err = _probe_backend()
+    if err:
+        print(json.dumps({
+            "metric": "368x368 multi-person images/sec/chip "
+                      "(4-scale pyramid fwd+decode, batched+pipelined)",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": err,
+            "note": "benchmark did not run: the TPU backend was "
+                    "unreachable (tunnel outage) — see BASELINE.md for "
+                    "the last measured numbers",
+        }))
+        raise SystemExit(1)
     from tpupose.config import DEFAULT
     from tpupose.infer import PoseEstimator
     from tpupose.utils import flops as flops_lib
