@@ -84,7 +84,7 @@ def test_assoc_kernel_matches_lax_random():
         _compare(got, want, f"seed={seed} k={k} density={density}")
 
 
-def test_assoc_decode_end_to_end(monkeypatch):
+def _assoc_decode_check():
     """decode_impl with the kernel path (interpret) == lax path on a
     2-person synthetic scene."""
     import cv2
@@ -115,8 +115,12 @@ def test_assoc_decode_end_to_end(monkeypatch):
     cfg = InferenceConfig()
 
     want = jax.device_get(decode_impl(jnp.asarray(heat), jnp.asarray(paf), cfg))
-    monkeypatch.setattr(ops_mod, "use_pallas_assoc", lambda: True)
-    got = jax.device_get(decode_impl(jnp.asarray(heat), jnp.asarray(paf), cfg))
+    orig = ops_mod.use_pallas_assoc
+    ops_mod.use_pallas_assoc = lambda: True  # process dies with the check
+    try:
+        got = jax.device_get(decode_impl(jnp.asarray(heat), jnp.asarray(paf), cfg))
+    finally:
+        ops_mod.use_pallas_assoc = orig
     for key in want:
         if np.asarray(want[key]).dtype.kind == "f":
             np.testing.assert_allclose(
@@ -126,3 +130,31 @@ def test_assoc_decode_end_to_end(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(got[key]), np.asarray(want[key]), err_msg=key
             )
+    print("ASSOC_DECODE_OK")
+
+
+def test_assoc_decode_end_to_end():
+    """Runs ``_assoc_decode_check`` in a FRESH subprocess: late in the
+    suite, the eager decode_impl cond-chain program here dies inside
+    XLA's CPU backend_compile_and_load (reproduced twice at this exact
+    test, with AND without a warm persistent cache; the identical check
+    passes every time standalone) — the same upstream aged-process
+    crash already quarantined in test_grouped_decode_fuzz. Coverage is
+    preserved; the TPU path is unaffected."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from tests.test_pallas_assoc import _assoc_decode_check; "
+        "_assoc_decode_check()"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, cwd=repo, timeout=1500,
+    )
+    assert r.returncode == 0, f"worker failed:\n{r.stdout}\n{r.stderr[-3000:]}"
+    assert "ASSOC_DECODE_OK" in r.stdout
