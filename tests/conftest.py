@@ -59,9 +59,14 @@ def _host_tag() -> str:
     return hashlib.sha1(raw.encode()).hexdigest()[:8]
 
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/tpupose_jax_cache_{_host_tag()}"
-)
+_CACHE_DIR = f"/tmp/tpupose_jax_cache_{_host_tag()}"
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+# Children (subprocess-quarantined checks, multihost/preemption workers)
+# don't inherit in-process jax.config — export env vars so THEY get the
+# cache too. Fresh short-lived processes may safely WRITE (the write
+# crash needs an aged process), so they organically populate the cache.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs",
     1.0 if os.environ.get("TPUPOSE_CACHE_WRITE") else 1e9,

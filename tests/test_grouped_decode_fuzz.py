@@ -162,7 +162,7 @@ def test_grouped_decode_under_dp_sharding():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        env=env, cwd=repo, timeout=1500,
+        env=env, cwd=repo, timeout=3000,
     )
     assert r.returncode == 0, f"worker failed:\n{r.stdout}\n{r.stderr[-3000:]}"
     assert "DP_SHARDING_OK" in r.stdout

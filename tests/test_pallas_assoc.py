@@ -154,7 +154,7 @@ def test_assoc_decode_end_to_end():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        env=env, cwd=repo, timeout=1500,
+        env=env, cwd=repo, timeout=3000,
     )
     assert r.returncode == 0, f"worker failed:\n{r.stdout}\n{r.stderr[-3000:]}"
     assert "ASSOC_DECODE_OK" in r.stdout

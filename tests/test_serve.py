@@ -135,9 +135,16 @@ def test_metrics_endpoint(server):
     c = _conn(server)
     c.request("POST", "/pose", body=b"junk")    # 400 -> client_errors only
     assert c.getresponse().status == 400
-    c = _conn(server)
-    c.request("GET", "/metrics")
-    after = json.loads(c.getresponse().read())
+    # metrics are recorded after the reply is written; under load the
+    # handler thread's finally can land after our next request — poll
+    deadline = time.time() + 10.0
+    while True:
+        c = _conn(server)
+        c.request("GET", "/metrics")
+        after = json.loads(c.getresponse().read())
+        if after["requests"] >= before["requests"] + 2 or time.time() > deadline:
+            break
+        time.sleep(0.05)
     assert after["requests"] == before["requests"] + 2
     assert after["client_errors"] == before["client_errors"] + 1
     assert after["errors"] == before["errors"]  # 4xx must not alert as 5xx
