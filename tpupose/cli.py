@@ -236,6 +236,15 @@ def _run_training(args, frozen_vgg: bool) -> int:
 
     if args.dataset == "synthetic":
         batches = pipeline.synthetic_batches(cfg, n_batches=args.max_steps or 10)
+    elif getattr(args, "grain", False):
+        # Grain feed: deterministic + checkpointable — the data position
+        # rides every checkpoint, so preempted runs resume mid-epoch
+        from tpupose.data.grain_pipeline import hdf5_grain_batches
+
+        batches = hdf5_grain_batches(
+            args.dataset, cfg, shard="auto",
+            worker_count=getattr(args, "data_workers", 0),
+        )
     else:
         # shard="auto": under jax.distributed each host feeds its own
         # disjoint record slice; single-process runs read everything
@@ -374,6 +383,11 @@ def main(argv=None) -> int:
         p.add_argument("--workdir", default=f"runs/{name}")
         p.add_argument("--max-steps", type=int, default=None)
         p.add_argument("--batch-size", type=int, default=None)
+        p.add_argument("--grain", action="store_true",
+                       help="Grain feed: checkpointable data position "
+                       "(exact mid-epoch resume after preemption)")
+        p.add_argument("--data-workers", type=int, default=0,
+                       help="Grain prep processes (0 = in-process)")
         _add_common_model_args(p)
         p.set_defaults(fn=fn)
 

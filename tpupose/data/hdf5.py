@@ -106,24 +106,32 @@ def read_samples(path: str, shuffle_seed: int | None = None) -> Iterator[dict]:
             rng = np.random.default_rng(shuffle_seed)
             keys = list(rng.permutation(keys))
         for k in keys:
-            g = group[k]
-            if isinstance(g, h5py.Dataset):
-                yield _parse_upstream_datum(g)
-                continue
-            meta = json.loads(g.attrs["meta"])
-            joints = np.asarray(meta["joints"], np.float32)
-            if "areas" in meta:
-                areas = np.asarray(meta["areas"], np.float32)
-            else:
-                areas = estimate_areas(joints)
-            yield {
-                "image": np.asarray(g["image"], np.uint8),
-                "mask": np.asarray(g["mask"], np.uint8),
-                "joints": joints,
-                "center": np.asarray(meta["center"], np.float32),
-                "scale_provided": np.float32(meta["scale_provided"]),
-                "areas": areas,
-            }
+            yield parse_record(group[k])
+
+
+def parse_record(node) -> dict:
+    """One HDF5 record (group or upstream packed dataset) -> sample dict.
+
+    Shared by the streaming reader above and the random-access Grain
+    source (``data/grain_pipeline.py``)."""
+    import h5py
+
+    if isinstance(node, h5py.Dataset):
+        return _parse_upstream_datum(node)
+    meta = json.loads(node.attrs["meta"])
+    joints = np.asarray(meta["joints"], np.float32)
+    if "areas" in meta:
+        areas = np.asarray(meta["areas"], np.float32)
+    else:
+        areas = estimate_areas(joints)
+    return {
+        "image": np.asarray(node["image"], np.uint8),
+        "mask": np.asarray(node["mask"], np.uint8),
+        "joints": joints,
+        "center": np.asarray(meta["center"], np.float32),
+        "scale_provided": np.float32(meta["scale_provided"]),
+        "areas": areas,
+    }
 
 
 def _coerce_joints(raw: np.ndarray) -> np.ndarray:

@@ -22,6 +22,20 @@ from typing import Any
 import numpy as np
 
 
+def _grain_iter(data_iter):
+    """Accept a GrainBatches wrapper or a raw PyGrainDatasetIterator."""
+    return getattr(data_iter, "iterator", data_iter)
+
+
+def _is_composite(directory: str, step: int) -> bool:
+    """Whether a step was saved with the (state, data) composite layout
+    (checkpoints carrying a data-iterator position) vs the legacy
+    single-tree layout (Orbax item name ``default``)."""
+    return os.path.isdir(
+        os.path.join(os.path.abspath(directory), str(step), "state")
+    )
+
+
 def _manager(directory: str, max_to_keep: int = 5, async_: bool = False):
     import orbax.checkpoint as ocp
 
@@ -59,12 +73,34 @@ class AsyncSaver:
         self._mgr = _manager(directory, max_to_keep, async_=True)
         self.last_saved: int | None = None
 
-    def save(self, state_tree: dict[str, Any], step: int | None = None) -> int:
+    def save(
+        self,
+        state_tree: dict[str, Any],
+        step: int | None = None,
+        data_iter: Any | None = None,
+    ) -> int:
+        """``data_iter`` (optional): a checkpointable Grain feed
+        (``data/grain_pipeline.GrainBatches`` or a raw
+        ``PyGrainDatasetIterator``) whose position is saved atomically
+        with the model state — exact mid-epoch resume. The iterator
+        state is captured synchronously (it is a small JSON blob), so
+        the feed may keep advancing while the write completes."""
         import orbax.checkpoint as ocp
 
         if step is None:
             step = int(np.asarray(state_tree["step"]))
-        self._mgr.save(step, args=ocp.args.StandardSave(state_tree))
+        if data_iter is None:
+            self._mgr.save(step, args=ocp.args.StandardSave(state_tree))
+        else:
+            import grain.python as grain
+
+            self._mgr.save(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state_tree),
+                    data=grain.PyGrainCheckpointSave(_grain_iter(data_iter)),
+                ),
+            )
         self.last_saved = step
         return step
 
@@ -100,19 +136,49 @@ def restore_params(directory: str) -> Any | None:
     if step is None:
         return None
     mgr = _manager(directory)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    if _is_composite(directory, step):
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+        )["state"]
+    else:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
-    return restored["params"]
+    # trees saved without a params sub-tree (e.g. bare test fixtures)
+    # behave like "no params checkpoint here"
+    return restored.get("params") if hasattr(restored, "get") else None
 
 
-def restore(directory: str, template_tree: dict[str, Any]) -> dict[str, Any] | None:
-    """Restore the latest checkpoint onto a template tree; None if absent."""
+def restore(
+    directory: str,
+    template_tree: dict[str, Any],
+    data_iter: Any | None = None,
+) -> dict[str, Any] | None:
+    """Restore the latest checkpoint onto a template tree; None if absent.
+
+    ``data_iter``: a checkpointable Grain feed to rewind to the saved
+    data position (no-op, with the model state still restored, when the
+    checkpoint predates data-iterator saving)."""
     import orbax.checkpoint as ocp
 
     step = latest_step(directory)
     if step is None:
         return None
     mgr = _manager(directory)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template_tree))
+    if _is_composite(directory, step):
+        items: dict[str, Any] = {
+            "state": ocp.args.StandardRestore(template_tree)
+        }
+        if data_iter is not None:
+            import grain.python as grain
+
+            items["data"] = grain.PyGrainCheckpointRestore(
+                _grain_iter(data_iter)
+            )
+        restored = mgr.restore(step, args=ocp.args.Composite(**items))["state"]
+    else:
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(template_tree)
+        )
     mgr.close()
     return restored

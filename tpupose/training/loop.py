@@ -98,7 +98,15 @@ def train(
     tree = state.tree()
 
     ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir)
-    restored = ckpt_lib.restore(ckpt_dir, jax.device_get(tree))
+    # checkpointable feeds (data/grain_pipeline.GrainBatches) have their
+    # position saved with the model state and rewound here — exact
+    # mid-epoch resume after preemption
+    from tpupose.data.grain_pipeline import is_checkpointable
+
+    ckpt_feed = batches if is_checkpointable(batches) else None
+    restored = ckpt_lib.restore(
+        ckpt_dir, jax.device_get(tree), data_iter=ckpt_feed
+    )
     if restored is not None:
         tree = restored
 
@@ -166,8 +174,13 @@ def train(
     t0 = time.time()
     losses = None  # device handle of the most recent step's losses
 
-    for batch in batches:
-        if step_idx >= limit:
+    # check the limit BEFORE pulling a batch: a checkpointable feed's
+    # saved position must not advance past a batch no step consumed
+    feed = iter(batches)
+    while step_idx < limit:
+        try:
+            batch = next(feed)
+        except StopIteration:
             break
         n_fed = next(iter(batch.values())).shape[0]
         if n_fed != cfg.train.batch_size:
@@ -192,7 +205,7 @@ def train(
         if step_idx % cfg.train.checkpoint_every == 0:
             # host-side step counter: reading tree["step"] would sync on
             # the in-flight chain
-            saver.save(tree, step=step_idx)
+            saver.save(tree, step=step_idx, data_iter=ckpt_feed)
         if val_batches is not None and step_idx % val_every == 0:
             run_validation(step_idx)
 
@@ -205,7 +218,7 @@ def train(
 
     final = jax.device_get(tree)
     if saver.last_saved != int(final["step"]):
-        saver.save(tree, step=int(final["step"]))
+        saver.save(tree, step=int(final["step"]), data_iter=ckpt_feed)
     saver.close()  # block until every pending write is durable
     if val_batches is not None:
         run_validation(int(final["step"]))
