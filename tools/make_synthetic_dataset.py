@@ -104,12 +104,16 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-persons", type=int, default=3)
     ap.add_argument("--style", default="dark", choices=["dark", "light"])
+    ap.add_argument("--compression", default="lzf",
+                    choices=["lzf", "gzip", "none"],
+                    help="HDF5 codec; 'none' maximises feed read rate")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     w = h = args.size
     n_written = 0
-    with hdf5_io.SampleWriter(args.output) as writer:
+    comp = None if args.compression == "none" else args.compression
+    with hdf5_io.SampleWriter(args.output, compression=comp) as writer:
         for _ in range(args.count):
             n_persons = int(rng.integers(1, args.max_persons + 1))
             people = [make_person(rng, w, h) for _ in range(n_persons)]

@@ -36,14 +36,30 @@ from tpupose import topology
 
 
 class SampleWriter:
-    """Writes the packed dataset (tools/coco prep use this)."""
+    """Writes the packed dataset (tools/coco prep use this).
 
-    def __init__(self, path: str):
+    ``compression``: HDF5 filter for the image/mask datasets. The
+    default is ``"lzf"`` — decompression speed bounds the training feed
+    (the host must out-run the on-chip step rate; see
+    ``experiments/feed_bench_r3.py``: gzip reads ~155 records/s vs the
+    151 samples/s batch-16 train step, lzf ~1.5x that, ``None``
+    (uncompressed) ~6x at ~20% more disk). Readers are codec-agnostic
+    (h5py resolves the filter per dataset), so existing gzip files keep
+    working.
+    """
+
+    def __init__(self, path: str, compression: str | None = "lzf"):
         import h5py
 
         self._f = h5py.File(path, "w")
         self._group = self._f.create_group("datum")
         self._n = 0
+        if compression == "gzip":
+            self._comp: dict = {"compression": "gzip", "compression_opts": 1}
+        elif compression is None or compression == "none":
+            self._comp = {}
+        else:
+            self._comp = {"compression": compression}
 
     def add(
         self,
@@ -60,9 +76,9 @@ class SampleWriter:
         (round-1 VERDICT weak #5)."""
         g = self._group.create_group(f"{self._n:07d}")
         g.create_dataset("image", data=np.asarray(image, np.uint8),
-                         compression="gzip", compression_opts=1)
+                         **self._comp)
         g.create_dataset("mask", data=np.asarray(mask, np.uint8),
-                         compression="gzip", compression_opts=1)
+                         **self._comp)
         meta = {
             "center": [float(center[0]), float(center[1])],
             "scale_provided": float(scale_provided),
