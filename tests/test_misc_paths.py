@@ -92,6 +92,39 @@ def test_synthetic_dataset_tool(tmp_path):
     assert batches and batches[0]["images"].shape == (2, 128, 128, 3)
 
 
+def test_synthetic_varied_style_and_codec(tmp_path):
+    """`--style varied` (the diverse source domain for the adaptation
+    premise, experiments/adapt_premise_r3.py) must actually vary scene
+    statistics, and `--compression none` must write uncompressed."""
+    out = str(tmp_path / "varied.h5")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_dataset.py"),
+         "--output", out, "--count", "10", "--size", "128",
+         "--style", "varied", "--compression", "none", "--seed", "5"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    import h5py
+
+    from tpupose.data import hdf5 as hdf5_io
+
+    with h5py.File(out) as f:
+        key = sorted(f["datum"].keys())[0]
+        assert f["datum"][key]["image"].compression is None
+
+    means = []
+    seen = set()
+    for rec in hdf5_io.read_samples(out):
+        m = rec["image"].mean()
+        if m not in seen:          # one entry per scene (records share images)
+            seen.add(m)
+            means.append(m)
+    assert len(means) >= 6
+    # backgrounds span dark AND bright scenes
+    assert min(means) < 100 and max(means) > 140, means
+
+
 def test_normalize_channel_order():
     """channel_order="rgb" flips incoming RGB to the BGR the weights
     expect; "bgr" is a no-op (round-1 ADVICE: the field was unread)."""

@@ -53,13 +53,36 @@ def make_person(rng, w, h):
 def render(rng, joints_list, w, h, style="dark"):
     """Render a scene. Styles are distinct "domains":
 
-    dark  — bright figures on dark noise (domain A)
-    light — dark thin figures on bright textured background with
-            distractor blobs (domain B, the adaptation target)
+    dark   — bright figures on dark noise (domain A)
+    light  — dark thin figures on bright textured background with
+             distractor blobs (domain B, the adaptation target)
+    varied — per-scene randomized background brightness/texture,
+             figure color/thickness, and distractor count: a DIVERSE
+             source domain whose features must be style-invariant
+             (the in-sandbox stand-in for a generic pretrained
+             backbone — see experiments/adapt_premise_r3.py)
     """
     import cv2
 
-    if style == "dark":
+    if style == "varied":
+        base = rng.uniform(0, 230)
+        img = (base + rng.uniform(-25, 25, (h, w, 3))
+               + rng.normal(0, rng.uniform(4, 20), (h, w, 3))).clip(0, 255)
+        img = img.astype(np.uint8)
+        for _ in range(int(rng.integers(0, 8))):
+            c = tuple(int(v) for v in rng.integers(0, 255, 3))
+            cv2.circle(img, (int(rng.uniform(0, w)), int(rng.uniform(0, h))),
+                       int(rng.uniform(6, 28)), c, -1, lineType=cv2.LINE_AA)
+        # figure tone must contrast with the background or the sample is
+        # unlearnable: sample brightness away from the base tone
+        lo, hi = (140, 255) if base < 115 else (0, 115)
+
+        def line_color(lo=lo, hi=hi):
+            return tuple(int(c) for c in rng.integers(lo, hi, 3))
+
+        dot_color = (255, 255, 255) if base < 115 else (0, 0, 0)
+        thickness = int(rng.integers(2, 7))
+    elif style == "dark":
         img = (rng.uniform(0, 60, (h, w, 3)) + rng.normal(0, 8, (h, w, 3))).clip(0, 255)
         img = img.astype(np.uint8)
         line_color = lambda: tuple(int(c) for c in rng.integers(120, 255, 3))
@@ -103,7 +126,8 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=368)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-persons", type=int, default=3)
-    ap.add_argument("--style", default="dark", choices=["dark", "light"])
+    ap.add_argument("--style", default="dark",
+                    choices=["dark", "light", "varied"])
     ap.add_argument("--compression", default="lzf",
                     choices=["lzf", "gzip", "none"],
                     help="HDF5 codec; 'none' maximises feed read rate")
