@@ -1,0 +1,217 @@
+"""Native `.tpr` record container: writer/reader round-trip, native vs
+pure-Python twin parity, the pre-padded fast feed path vs the HDF5 feed
+(bit-identical batches), shard semantics, and malformed-file errors.
+
+The format replaces HDF5 on the training feed's hot path because HDF5
+inflates behind a single lock (SURVEY.md §2.3 data plane;
+BASELINE.md round-3 feed audit); `native/feed.cpp` decompresses batches
+with C++ threads straight into the batch arrays."""
+
+import dataclasses
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from tpupose.config import DEFAULT, AugmentConfig, TrainConfig
+from tpupose.data import hdf5 as hdf5_io
+from tpupose.data import pipeline, tpr
+
+
+def _samples(n=8, h=96, w=112, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        p = int(rng.integers(1, 4))
+        out.append({
+            "image": rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            "mask": rng.integers(0, 255, (h, w), dtype=np.uint8),
+            "joints": rng.uniform(0, w, (p, 18, 3)).astype(np.float32),
+            "center": rng.uniform(0, w, 2).astype(np.float32),
+            "scale_provided": np.float32(rng.uniform(0.4, 1.2)),
+            "areas": rng.uniform(50, 500, p).astype(np.float32),
+        })
+    return out
+
+
+def _assert_sample_equal(a, b):
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+    np.testing.assert_allclose(a["joints"], b["joints"], atol=1e-6)
+    np.testing.assert_allclose(a["center"], b["center"], atol=1e-6)
+    np.testing.assert_allclose(
+        float(a["scale_provided"]), float(b["scale_provided"]), atol=1e-6
+    )
+    np.testing.assert_allclose(a["areas"], b["areas"], atol=1e-4)
+
+
+@pytest.mark.parametrize("compression", ["zlib", "none"])
+def test_roundtrip(tmp_path, compression):
+    path = str(tmp_path / "ds.tpr")
+    samples = _samples()
+    n = tpr.write_samples(path, samples, compression=compression)
+    assert n == len(samples) == tpr.num_samples(path)
+    back = list(tpr.read_samples(path))
+    for a, b in zip(samples, back):
+        _assert_sample_equal(a, b)
+
+
+def test_native_vs_python_twin(tmp_path, monkeypatch):
+    """The C++ reader and the mmap+zlib Python twin must agree byte-for-
+    byte on the same file (the data/rle.py twin pattern)."""
+    path = str(tmp_path / "ds.tpr")
+    samples = _samples(seed=3)
+    tpr.write_samples(path, samples)
+
+    native = list(tpr.read_samples(path))
+    monkeypatch.setenv("TPUPOSE_NO_NATIVE_FEED", "1")
+    twin = list(tpr.read_samples(path))
+    for a, b in zip(native, twin):
+        _assert_sample_equal(a, b)
+
+    # batch API parity too
+    r_twin = tpr.TprReader(path)
+    assert r_twin._py is not None  # env var actually forced the twin
+    monkeypatch.delenv("TPUPOSE_NO_NATIVE_FEED")
+    r_nat = tpr.TprReader(path)
+    h, w = r_nat.dims(0)
+    idx = np.asarray([3, 0, 2], np.uint64)
+    img_a = np.zeros((3, h, w, 3), np.uint8)
+    msk_a = np.zeros((3, h, w), np.uint8)
+    img_b = np.zeros_like(img_a)
+    msk_b = np.zeros_like(msk_a)
+    r_nat.read_batch_into(idx, img_a, msk_a, threads=3)
+    r_twin.read_batch_into(idx, img_b, msk_b)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(msk_a, msk_b)
+    r_nat.close()
+    r_twin.close()
+
+
+def test_shuffle_and_static_flag(tmp_path):
+    path = str(tmp_path / "ds.tpr")
+    tpr.write_samples(path, _samples(n=12))
+    with tpr.TprReader(path) as r:
+        assert r.static_shapes  # all records share (96, 112)
+    plain = [s["image"].sum() for s in tpr.read_samples(path)]
+    shuffled = [s["image"].sum() for s in tpr.read_samples(path,
+                                                           shuffle_seed=4)]
+    assert sorted(plain) == sorted(shuffled) and plain != shuffled
+
+    mixed = _samples(n=2) + _samples(n=2, h=64, w=64, seed=9)
+    path2 = str(tmp_path / "mixed.tpr")
+    tpr.write_samples(path2, mixed)
+    with tpr.TprReader(path2) as r:
+        assert not r.static_shapes
+
+
+def test_malformed_files(tmp_path):
+    bad = tmp_path / "bad.tpr"
+    bad.write_bytes(b"not a tpr file at all, just bytes")
+    with pytest.raises(ValueError, match="malformed|cannot open"):
+        tpr.TprReader(str(bad))
+
+    # valid header, index pointing past EOF
+    trunc = tmp_path / "trunc.tpr"
+    trunc.write_bytes(tpr.HEADER.pack(tpr.MAGIC, 0, 0, 10, 1 << 40))
+    with pytest.raises(ValueError, match="malformed|cannot open"):
+        tpr.TprReader(str(trunc))
+
+    # corrupt a zlib stream in a valid file -> inflate error on read
+    path = str(tmp_path / "ok.tpr")
+    tpr.write_samples(path, _samples(n=2))
+    with tpr.TprReader(path) as r:
+        e0 = (r._py._entries[0] if r._py is not None else None)
+    raw = bytearray(open(path, "rb").read())
+    # image blob of record 0 starts right after the header
+    start = tpr.HEADER.size
+    raw[start + 8:start + 16] = b"\xff" * 8
+    open(path, "wb").write(bytes(raw))
+    with tpr.TprReader(path) as r:
+        with pytest.raises(ValueError, match="inflate|malformed"):
+            r.read(0)
+
+
+def test_prepadded_feed_matches_hdf5(tmp_path):
+    """pack_tpr --pre-pad + tpr_batches fast path must yield batches
+    bit-identical to the HDF5 feed (same shuffle seed, same shard)."""
+    h5 = str(tmp_path / "ds.h5")
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synthetic_dataset.py"),
+         "--output", h5, "--count", "10", "--size", "150", "--seed", "2"],
+        check=True, env=env, capture_output=True,
+    )
+    tp = str(tmp_path / "ds368.tpr")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/pack_tpr.py"),
+         "--input", h5, "--output", tp,
+         "--pre-pad", "368", "368", "--max-persons", "8"],
+        check=True, env=env, capture_output=True,
+    )
+    cfg = dataclasses.replace(
+        DEFAULT, train=TrainConfig(batch_size=4),
+        augment=AugmentConfig(max_persons=8),
+    )
+    ref = list(pipeline.hdf5_batches(h5, cfg, epochs=1, num_workers=1))
+    fast = list(pipeline.dataset_batches(tp, cfg, epochs=1))
+    assert len(ref) == len(fast) > 0
+    for a, b in zip(ref, fast):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+    # shard slices agree with the hdf5 contract
+    r0 = list(pipeline.hdf5_batches(h5, cfg, epochs=1, shard=(0, 2),
+                                    num_workers=1))
+    f0 = list(pipeline.dataset_batches(tp, cfg, epochs=1, shard=(0, 2)))
+    f1 = list(pipeline.dataset_batches(tp, cfg, epochs=1, shard=(1, 2)))
+    assert len(r0) == len(f0) == len(f1)
+    for a, b in zip(r0, f0):
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+    # generic (non-prepadded) tpr path agrees as well
+    tp2 = str(tmp_path / "ds.tpr")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/pack_tpr.py"),
+         "--input", h5, "--output", tp2],
+        check=True, env=env, capture_output=True,
+    )
+    generic = list(pipeline.dataset_batches(tp2, cfg, epochs=1,
+                                            num_workers=1))
+    for a, b in zip(ref, generic):
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_feed_errors(tmp_path):
+    cfg = dataclasses.replace(
+        DEFAULT, train=TrainConfig(batch_size=4),
+        augment=AugmentConfig(max_persons=8),
+    )
+    path = str(tmp_path / "small.tpr")
+    tpr.write_samples(path, _samples(n=3))
+    with pytest.raises(ValueError, match="fewer records"):
+        pipeline.tpr_batches(path, cfg, shard=(0, 8))
+    empty = str(tmp_path / "empty.tpr")
+    tpr.write_samples(empty, [])
+    with pytest.raises(ValueError, match="empty"):
+        pipeline.tpr_batches(empty, cfg)
+
+
+def test_read_batch_into_validation(tmp_path):
+    path = str(tmp_path / "ds.tpr")
+    tpr.write_samples(path, _samples(n=4))
+    with tpr.TprReader(path) as r:
+        h, w = r.dims(0)
+        good = np.zeros((2, h, w, 3), np.uint8)
+        with pytest.raises(ValueError):
+            r.read_batch_into([0, 1, 2], good, None)      # leading axis < n
+        with pytest.raises(ValueError):
+            r.read_batch_into([0], np.zeros((1, h, w, 3), np.float32), None)
+        with pytest.raises(ValueError, match="out of range|index"):
+            r.read_batch_into([99], good[:1], None)

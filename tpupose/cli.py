@@ -247,8 +247,10 @@ def _run_training(args, frozen_vgg: bool) -> int:
         )
     else:
         # shard="auto": under jax.distributed each host feeds its own
-        # disjoint record slice; single-process runs read everything
-        batches = pipeline.hdf5_batches(args.dataset, cfg, shard="auto")
+        # disjoint record slice; single-process runs read everything.
+        # .tpr datasets (tools/pack_tpr.py) take the native threaded-
+        # inflate path; pre-padded ones skip host-side prep entirely.
+        batches = pipeline.dataset_batches(args.dataset, cfg, shard="auto")
 
     result = loop.train(
         cfg, batches, params=params, workdir=args.workdir,

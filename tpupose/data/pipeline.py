@@ -24,6 +24,7 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
+from tpupose import topology
 from tpupose.config import PoseConfig
 from tpupose.data import hdf5 as hdf5_io
 
@@ -143,7 +144,16 @@ def hdf5_batches(
     same number of batches: a ragged shard would leave one host inside
     a collective the others never enter (multi-host deadlock on finite
     feeds). ``shard="auto"`` reads the live ``jax.process_index()`` /
-    ``process_count()``; None (default) reads everything."""
+    ``process_count()``; None (default) reads everything.
+
+    `.tpr` paths read through the native inflater
+    (``data/tpr.read_samples``) — same record contract, same semantics
+    (pre-padded `.tpr` files should prefer ``tpr_batches``'s fast path).
+    """
+    if path.endswith(".tpr"):
+        from tpupose.data import tpr as reader_mod
+    else:
+        reader_mod = hdf5_io
 
     if shard == "auto":
         import jax
@@ -157,20 +167,20 @@ def hdf5_batches(
         if s_cnt == 1:
             shard = None
         else:
-            per_shard = hdf5_io.num_samples(path) // s_cnt
+            per_shard = reader_mod.num_samples(path) // s_cnt
             if per_shard == 0:
                 # with default epochs=None this would otherwise busy-spin
                 # yielding nothing forever — fail loudly instead
                 raise ValueError(
                     f"dataset {path!r} has fewer records "
-                    f"({hdf5_io.num_samples(path)}) than shards ({s_cnt})"
+                    f"({reader_mod.num_samples(path)}) than shards ({s_cnt})"
                 )
 
     def epochs_iter():
         counter = itertools.count() if epochs is None else range(epochs)
         for e in counter:
             seed = None if shuffle_seed is None else shuffle_seed + e
-            it = hdf5_io.read_samples(path, shuffle_seed=seed)
+            it = reader_mod.read_samples(path, shuffle_seed=seed)
             if shard is not None:
                 it = itertools.islice(
                     (s for i, s in enumerate(it) if i % s_cnt == s_idx),
@@ -187,6 +197,131 @@ def hdf5_batches(
         num_workers=num_workers,
     )
     return prefetch(batches, prefetch_depth)
+
+
+def tpr_batches(
+    path: str,
+    cfg: PoseConfig,
+    target_h: int = 368,
+    target_w: int = 368,
+    epochs: int | None = None,
+    shuffle_seed: int | None = 0,
+    prefetch_depth: int = 2,
+    threads: int = 8,
+    num_workers: int = 4,
+    shard: tuple[int, int] | str | None = None,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Training feed over a native `.tpr` dataset (tools/pack_tpr.py).
+
+    For PRE-PADDED files whose record geometry matches
+    ``(target_h, target_w)`` the hot loop is a single
+    ``TprReader.read_batch_into`` call per batch — C++ threads inflate
+    every record directly into the batch arrays (no per-sample cv2, no
+    Python stacking; the GIL is released for the whole call). Metadata
+    (joints/centers/scales) is parsed once at open into dense arrays and
+    sliced per batch.
+
+    Files that are not pre-padded (or whose geometry differs) fall back
+    to the generic pad-and-stack path, still reading through the native
+    inflater. Shard semantics match ``hdf5_batches`` exactly: seed-
+    identical shuffled order across hosts, every count-th position,
+    truncated so all hosts yield the same number of batches.
+    """
+    from tpupose.data import tpr
+
+    if shard == "auto":
+        import jax
+
+        shard = (jax.process_index(), jax.process_count())
+    if shard is not None:
+        s_idx, s_cnt = shard
+        if not 0 <= s_idx < s_cnt:
+            raise ValueError(f"bad shard {shard!r}")
+        if s_cnt == 1:
+            shard = None
+
+    reader = tpr.TprReader(path)
+    n_rec = reader.count
+    if n_rec == 0:
+        reader.close()
+        raise ValueError(f"dataset {path!r} is empty")
+    if shard is not None and n_rec // s_cnt == 0:
+        reader.close()
+        raise ValueError(
+            f"dataset {path!r} has fewer records ({n_rec}) than "
+            f"shards ({s_cnt})"
+        )
+    meta0 = reader.meta(0)
+    fast = (
+        reader.static_shapes
+        and bool(meta0.get("prepadded"))
+        and reader.dims(0) == (target_h, target_w)
+    )
+    if not fast:
+        reader.close()
+        return hdf5_batches(
+            path, cfg, target_h=target_h, target_w=target_w, epochs=epochs,
+            shuffle_seed=shuffle_seed, prefetch_depth=prefetch_depth,
+            num_workers=num_workers, shard=shard,
+        )
+
+    batch = cfg.train.batch_size
+    max_p = cfg.augment.max_persons
+
+    # metadata is tiny relative to pixels: densify once at open
+    joints_all = np.full((n_rec, max_p, topology.NUM_PARTS, 3), 2.0,
+                         np.float32)
+    areas_all = np.zeros((n_rec, max_p), np.float32)
+    centers_all = np.zeros((n_rec, 2), np.float32)
+    scales_all = np.zeros((n_rec,), np.float32)
+    for i in range(n_rec):
+        m = meta0 if i == 0 else reader.meta(i)
+        j = np.asarray(m["joints"], np.float32)
+        if j.size == 0:
+            j = j.reshape(0, topology.NUM_PARTS, 3)
+        p = min(j.shape[0], max_p)
+        joints_all[i, :p] = j[:p]
+        a = np.asarray(m.get("areas", ()), np.float32)
+        areas_all[i, : min(len(a), max_p)] = a[:max_p]
+        centers_all[i] = np.asarray(m["center"], np.float32)[:2]
+        scales_all[i] = np.float32(m["scale_provided"])
+
+    def gen():
+        try:
+            counter = itertools.count() if epochs is None else range(epochs)
+            for e in counter:
+                if shuffle_seed is None:
+                    order = np.arange(n_rec)
+                else:
+                    order = np.random.default_rng(
+                        shuffle_seed + e
+                    ).permutation(n_rec)
+                if shard is not None:
+                    order = order[s_idx::s_cnt][: n_rec // s_cnt]
+                for k in range(0, len(order) - batch + 1, batch):
+                    idx = order[k:k + batch]
+                    imgs = np.empty((batch, target_h, target_w, 3), np.uint8)
+                    masks = np.empty((batch, target_h, target_w), np.uint8)
+                    reader.read_batch_into(idx, imgs, masks, threads=threads)
+                    yield {
+                        "images": imgs,
+                        "masks": masks,
+                        "joints": joints_all[idx],
+                        "centers": centers_all[idx],
+                        "scales": scales_all[idx],
+                    }
+        finally:
+            reader.close()
+
+    return prefetch(gen(), prefetch_depth)
+
+
+def dataset_batches(path: str, cfg: PoseConfig, **kwargs):
+    """Extension-dispatching training feed: `.tpr` -> native fast path,
+    anything else -> the HDF5 reader."""
+    if path.endswith(".tpr"):
+        return tpr_batches(path, cfg, **kwargs)
+    return hdf5_batches(path, cfg, **kwargs)
 
 
 def synthetic_batches(
