@@ -203,6 +203,108 @@ def test_feed_errors(tmp_path):
         pipeline.tpr_batches(empty, cfg)
 
 
+def _prepad_tpr(tmp_path, size=64, count=8, persons=3):
+    h5 = str(tmp_path / "src.h5")
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synthetic_dataset.py"),
+         "--output", h5, "--count", str(count), "--size", str(size),
+         "--seed", "11"],
+        check=True, env=env, capture_output=True,
+    )
+    tp = str(tmp_path / "src.tpr")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/pack_tpr.py"),
+         "--input", h5, "--output", tp,
+         "--pre-pad", str(size), str(size), "--max-persons", str(persons)],
+        check=True, env=env, capture_output=True,
+    )
+    return tp
+
+
+def test_feed_state_roundtrip(tmp_path):
+    """TprBatches is checkpointable (the Grain duck-type): consuming K
+    batches, saving state, and resuming in a fresh feed must continue
+    the exact uninterrupted sequence across an epoch boundary."""
+    from tpupose.data.grain_pipeline import is_checkpointable
+
+    tp = _prepad_tpr(tmp_path)
+    cfg = dataclasses.replace(
+        DEFAULT, train=TrainConfig(batch_size=2),
+        augment=AugmentConfig(max_persons=3),
+    )
+
+    def mk():
+        return pipeline.dataset_batches(tp, cfg, target_h=64, target_w=64,
+                                        epochs=3)
+
+    feed = mk()
+    assert is_checkpointable(feed)
+    ref = [next(feed) for _ in range(15)]
+    feed.close()
+
+    feed = mk()
+    head = [next(feed) for _ in range(7)]
+    state = feed.get_state()
+    feed.close()
+    feed = mk()
+    feed.set_state(state)
+    tail = [next(feed) for _ in range(8)]
+    feed.close()
+    for a, b in zip(ref, head + tail):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["joints"], b["joints"])
+
+    exhausted = list(pipeline.dataset_batches(tp, cfg, target_h=64,
+                                              target_w=64, epochs=1))
+    with tpr.TprReader(tp) as r:
+        assert len(exhausted) == r.count // 2
+
+
+def test_train_loop_resumes_tpr_data_position(tmp_path):
+    """End-to-end: a preempted tpr-fed train run resumes from both the
+    model step AND the data position (same contract as the Grain feed,
+    tests/test_grain_pipeline.py)."""
+    from tpupose.config import ModelConfig, PoseConfig
+    from tpupose.training import loop
+
+    tp = _prepad_tpr(tmp_path)
+    cfg = PoseConfig(
+        model=ModelConfig(num_stages=1),
+        train=TrainConfig(batch_size=2, base_lr=1e-5, checkpoint_every=2,
+                          log_every=10, max_steps=100),
+        augment=AugmentConfig(max_persons=3),
+    )
+
+    consumed: list[tuple] = []
+
+    class Spy(pipeline.TprBatches):
+        def __next__(self):
+            b = super().__next__()
+            consumed.append(tuple(np.round(b["scales"], 4).tolist()))
+            return b
+
+    def mk():
+        inner = pipeline.dataset_batches(tp, cfg, target_h=64, target_w=64,
+                                         epochs=10, shuffle_seed=9)
+        inner.__class__ = Spy
+        return inner
+
+    workdir = str(tmp_path / "run")
+    loop.train(cfg, mk(), workdir=workdir, max_steps=2, use_mesh=False)
+    first = list(consumed)
+    assert len(first) == 2
+    loop.train(cfg, mk(), workdir=workdir, max_steps=4, use_mesh=False)
+    resumed = consumed[len(first):]
+    assert len(resumed) == 2
+
+    consumed.clear()
+    feed = mk()
+    uninterrupted = [next(feed) and consumed[-1] for _ in range(4)]
+    feed.close()
+    assert first + resumed == uninterrupted
+
+
 def test_read_batch_into_validation(tmp_path):
     path = str(tmp_path / "ds.tpr")
     tpr.write_samples(path, _samples(n=4))

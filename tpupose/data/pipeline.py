@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import collections
 import itertools
+import json
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -226,6 +227,12 @@ def tpr_batches(
     inflater. Shard semantics match ``hdf5_batches`` exactly: seed-
     identical shuffled order across hosts, every count-th position,
     truncated so all hosts yield the same number of batches.
+
+    The fast path returns a :class:`TprBatches` — a CHECKPOINTABLE
+    iterator (``get_state``/``set_state``, the same duck-type contract
+    as the Grain feed), so ``training.loop.train`` persists the exact
+    mid-epoch data position in every checkpoint. The native feed is
+    therefore both the fastest and the operational option.
     """
     from tpupose.data import tpr
 
@@ -286,34 +293,170 @@ def tpr_batches(
         centers_all[i] = np.asarray(m["center"], np.float32)[:2]
         scales_all[i] = np.float32(m["scale_provided"])
 
-    def gen():
+    return TprBatches(
+        reader=reader,
+        meta_arrays=(joints_all, centers_all, scales_all),
+        batch=batch,
+        geometry=(target_h, target_w),
+        epochs=epochs,
+        shuffle_seed=shuffle_seed,
+        shard=None if shard is None else (s_idx, s_cnt),
+        threads=threads,
+        prefetch_depth=prefetch_depth,
+    )
+
+
+class TprBatches:
+    """Checkpointable prefetched iterator over a pre-padded `.tpr` file.
+
+    State is the pair ``(epoch, offset)`` of the NEXT batch to hand out
+    — serialized as JSON bytes through ``get_state``/``set_state``, the
+    same duck-type contract Grain's iterators use, so
+    ``training/checkpoint.py`` persists/restores it with the identical
+    Orbax machinery and ``loop.train`` needs no feed-specific code.
+    A producer thread keeps ``prefetch_depth`` batches decompressed
+    ahead of the consumer; each queued batch carries the state that
+    RESUMES AFTER it, so a restore never replays or skips a batch
+    regardless of what was in flight at save time.
+    """
+
+    def __init__(self, reader, meta_arrays, batch, geometry, epochs,
+                 shuffle_seed, shard, threads, prefetch_depth):
+        self._reader = reader
+        self._joints, self._centers, self._scales = meta_arrays
+        self._batch = batch
+        self._h, self._w = geometry
+        self._epochs = epochs
+        self._seed = shuffle_seed
+        self._shard = shard
+        self._threads = threads
+        self._depth = max(1, prefetch_depth)
+        self._pos = (0, 0)          # state of the next batch to consume
+        self._queue: queue.Queue | None = None
+        self._stop: threading.Event | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- order/position bookkeeping ------------------------------------
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self._scales)
+        if self._seed is None:
+            order = np.arange(n)
+        else:
+            order = np.random.default_rng(self._seed + epoch).permutation(n)
+        if self._shard is not None:
+            s_idx, s_cnt = self._shard
+            order = order[s_idx::s_cnt][: n // s_cnt]
+        return order
+
+    def _advance(self, epoch: int, k: int, order_len: int):
+        k += self._batch
+        if k + self._batch > order_len:
+            return epoch + 1, 0
+        return epoch, k
+
+    # -- producer ------------------------------------------------------
+
+    def _produce(self, q: queue.Queue, stop: threading.Event,
+                 pos: tuple[int, int]):
+        sentinel_sent = False
         try:
-            counter = itertools.count() if epochs is None else range(epochs)
-            for e in counter:
-                if shuffle_seed is None:
-                    order = np.arange(n_rec)
-                else:
-                    order = np.random.default_rng(
-                        shuffle_seed + e
-                    ).permutation(n_rec)
-                if shard is not None:
-                    order = order[s_idx::s_cnt][: n_rec // s_cnt]
-                for k in range(0, len(order) - batch + 1, batch):
-                    idx = order[k:k + batch]
-                    imgs = np.empty((batch, target_h, target_w, 3), np.uint8)
-                    masks = np.empty((batch, target_h, target_w), np.uint8)
-                    reader.read_batch_into(idx, imgs, masks, threads=threads)
-                    yield {
+            epoch, k = pos
+            while self._epochs is None or epoch < self._epochs:
+                order = self._order(epoch)
+                if len(order) < self._batch:
+                    break
+                while k + self._batch <= len(order):
+                    if stop.is_set():
+                        return
+                    idx = order[k:k + self._batch]
+                    imgs = np.empty((self._batch, self._h, self._w, 3),
+                                    np.uint8)
+                    masks = np.empty((self._batch, self._h, self._w),
+                                     np.uint8)
+                    self._reader.read_batch_into(idx, imgs, masks,
+                                                 threads=self._threads)
+                    item = {
                         "images": imgs,
                         "masks": masks,
-                        "joints": joints_all[idx],
-                        "centers": centers_all[idx],
-                        "scales": scales_all[idx],
+                        "joints": self._joints[idx],
+                        "centers": self._centers[idx],
+                        "scales": self._scales[idx],
                     }
-        finally:
-            reader.close()
+                    nxt = self._advance(epoch, k, len(order))
+                    while not stop.is_set():
+                        try:
+                            q.put((item, nxt, None), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    k += self._batch
+                epoch += 1
+                k = 0
+            q.put((None, None, None))      # end of feed
+            sentinel_sent = True
+        except BaseException as e:
+            while not sentinel_sent and not stop.is_set():
+                try:
+                    q.put((None, None, e), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    return prefetch(gen(), prefetch_depth)
+    def _ensure_thread(self):
+        if self._thread is None:
+            self._queue = queue.Queue(maxsize=self._depth)
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._produce,
+                args=(self._queue, self._stop, self._pos),
+                daemon=True,
+            )
+            self._thread.start()
+
+    def _kill_thread(self):
+        if self._thread is not None:
+            self._stop.set()
+            # drain so a blocked put() observes the stop flag
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=10)
+            self._thread = None
+            self._queue = None
+            self._stop = None
+
+    # -- iterator protocol ---------------------------------------------
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict[str, np.ndarray]:
+        self._ensure_thread()
+        item, nxt, err = self._queue.get()
+        if err is not None:
+            raise err
+        if item is None:
+            raise StopIteration
+        self._pos = nxt
+        return item
+
+    # -- checkpoint contract (grain-compatible duck type) --------------
+
+    def get_state(self) -> bytes:
+        return json.dumps({"epoch": self._pos[0], "offset": self._pos[1],
+                           "version": 1}).encode()
+
+    def set_state(self, state: bytes) -> None:
+        s = json.loads(state.decode())
+        self._kill_thread()
+        self._pos = (int(s["epoch"]), int(s["offset"]))
+
+    def close(self) -> None:
+        self._kill_thread()
+        self._reader.close()
 
 
 def dataset_batches(path: str, cfg: PoseConfig, **kwargs):
