@@ -279,7 +279,8 @@ def cmd_finetune(args) -> int:
 def cmd_eval(args) -> int:
     import numpy as np
 
-    from tpupose.data import coco_eval, hdf5 as hdf5_io
+    import tpupose.data as data_pkg
+    from tpupose.data import coco_eval
 
     est = _estimator(args)
     runner = None
@@ -290,7 +291,7 @@ def cmd_eval(args) -> int:
             est, resolve_buckets(args.buckets), batch_size=args.eval_batch
         )
     preds, gts = [], []
-    for i, rec in enumerate(hdf5_io.read_samples(args.dataset)):
+    for i, rec in enumerate(data_pkg.read_samples(args.dataset)):
         if args.max_images and i >= args.max_images:
             break
         if runner is not None:
