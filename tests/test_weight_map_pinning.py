@@ -109,6 +109,53 @@ def test_every_flax_param_finds_its_upstream_layer(keras_h5):
     assert got == want
 
 
+def test_torch_state_dict_matches_keras(keras_h5, tmp_path):
+    """The torch-port loader must land every layer exactly where the
+    Keras loader does: a state dict built with the torch ports' module
+    naming (``model0.conv1_1.weight`` etc., kernels in torch's
+    (out, in, kh, kw) order) overlays to the identical param tree."""
+    import torch
+
+    from tpupose.models import OpenPose, weights as weights_lib
+
+    sd = {}
+    for name, kshape in upstream_layers().items():
+        # torch ports group layers into submodules; the prefix is
+        # irrelevant to the loader (second-to-last component wins)
+        prefix = "model0" if name in VGG or name in CPM else "model1_1"
+        k = np.full(kshape, layer_const(name), np.float32)
+        sd[f"{prefix}.{name}.weight"] = torch.from_numpy(
+            k.transpose(3, 2, 0, 1).copy()
+        )
+        sd[f"{prefix}.{name}.bias"] = torch.from_numpy(
+            np.full((kshape[-1],), layer_const(name) + 0.5, np.float32)
+        )
+    sd["model0.bn_stats.running_mean"] = torch.zeros(4)  # must be skipped
+    path = str(tmp_path / "body_pose_model.pth")
+    torch.save(sd, path)
+
+    model = OpenPose(num_stages=6, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    via_torch, missing_t = weights_lib.load_reference_weights(path, params)
+    assert missing_t == []
+    via_keras, missing_k = weights_lib.load_keras_h5(keras_h5, params)
+    assert missing_k == []
+    flat_t = jax.tree_util.tree_leaves(via_torch)
+    flat_k = jax.tree_util.tree_leaves(via_keras)
+    for a, b in zip(flat_t, flat_k):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # nested {'state_dict': ...} wrappers unwrap
+    path2 = str(tmp_path / "wrapped.pt")
+    torch.save({"state_dict": sd}, path2)
+    via_wrapped, missing_w = weights_lib.load_reference_weights(path2, params)
+    assert missing_w == []
+    np.testing.assert_array_equal(
+        np.asarray(via_wrapped["vgg"]["conv1_1"]["kernel"]),
+        np.asarray(via_torch["vgg"]["conv1_1"]["kernel"]),
+    )
+
+
 def test_convert_weights_cli_to_orbax_and_back(keras_h5, tmp_path):
     """End-to-end: cli convert-weights -> Orbax checkpoint -> restored
     params drive a PoseEstimator forward."""

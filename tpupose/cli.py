@@ -20,7 +20,9 @@ import sys
 
 
 def _add_common_model_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--weights", default=None, help="Keras .h5 weights (optional)")
+    p.add_argument("--weights", default=None,
+                   help="reference weights: Keras .h5, Caffe .caffemodel, "
+                        "or torch .pth/.pt (optional)")
     p.add_argument(
         "--checkpoint", default=None, metavar="DIR",
         help="native Orbax checkpoint dir (from train/finetune/"

@@ -1,4 +1,5 @@
-"""Weight plumbing: Keras ``.h5`` -> flax pytree, and pretrained init.
+"""Weight plumbing: Keras ``.h5`` / Caffe ``.caffemodel`` / torch
+``.pth`` -> flax pytree, and pretrained init.
 
 TPU-native counterpart of the reference's Caffe->Keras conversion scripts
 and ``from_vgg`` name map (SURVEY.md C3). The sandbox has no network, so
@@ -81,10 +82,54 @@ def load_caffemodel(path: str, params: Any) -> tuple[Any, list[str]]:
     return _overlay_layers(caffemodel_layers(path), params)
 
 
+def torch_layers(path: str) -> dict[str, dict[str, np.ndarray]]:
+    """{caffe_layer_name: {kernel, bias}} from a PyTorch checkpoint.
+
+    The widely-used torch ports of this model family build their modules
+    from OrderedDicts keyed by the ORIGINAL Caffe layer names, so state
+    dicts carry keys like ``model0.conv1_1.weight`` /
+    ``model2_1.Mconv1_stage2_L1.bias`` — the layer name is the
+    second-to-last dotted component and the existing Keras/Caffe name map
+    applies unchanged. Torch conv kernels are (out, in, kh, kw); flax
+    wants (kh, kw, in, out). Nested ``state_dict``/``model`` wrappers
+    are unwrapped; non-conv entries (BN stats etc.) are skipped."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(sd, dict) and isinstance(sd.get(key), dict):
+            sd = sd[key]
+    layers: dict[str, dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if len(parts) < 2 or parts[-1] not in ("weight", "bias"):
+            continue
+        layer, wname = parts[-2], parts[-1]
+        arr = np.asarray(v.detach().cpu().numpy())
+        if wname == "weight":
+            if arr.ndim != 4:
+                continue
+            layers.setdefault(layer, {})["kernel"] = arr.transpose(2, 3, 1, 0)
+        else:
+            if arr.ndim != 1:
+                continue
+            layers.setdefault(layer, {})["bias"] = arr
+    return layers
+
+
+def load_torch(path: str, params: Any) -> tuple[Any, list[str]]:
+    """Overlay a PyTorch-port checkpoint (``.pth``/``.pt``) onto a flax
+    param tree (see ``torch_layers`` for the naming contract)."""
+    return _overlay_layers(torch_layers(path), params)
+
+
 def load_reference_weights(path: str, params: Any) -> tuple[Any, list[str]]:
-    """Format-dispatching loader: ``.caffemodel`` or Keras ``.h5``."""
+    """Format-dispatching loader: ``.caffemodel``, torch ``.pth``/``.pt``,
+    or Keras ``.h5``."""
     if path.endswith(".caffemodel"):
         return load_caffemodel(path, params)
+    if path.endswith((".pth", ".pt")):
+        return load_torch(path, params)
     return load_keras_h5(path, params)
 
 
@@ -125,7 +170,8 @@ def _overlay_layers(
 
 
 def maybe_load_pretrained(params: Any, path: str | None) -> tuple[Any, bool]:
-    """Load reference weights (.h5 or .caffemodel) if a file exists;
+    """Load reference weights (.h5, .caffemodel, or torch .pth/.pt)
+    if a file exists;
     otherwise return params as-is."""
     if path and os.path.exists(path):
         new_params, missing = load_reference_weights(path, params)
