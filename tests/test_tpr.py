@@ -305,6 +305,38 @@ def test_train_loop_resumes_tpr_data_position(tmp_path):
     assert first + resumed == uninterrupted
 
 
+def test_closed_reader_and_exhausted_feed(tmp_path):
+    """A closed reader must raise (never hand a NULL handle to the C
+    library), and a drained TprBatches must keep raising StopIteration
+    instead of blocking on its empty queue."""
+    path = str(tmp_path / "ds.tpr")
+    tpr.write_samples(path, _samples(n=4))
+    r = tpr.TprReader(path)
+    r.close()
+    buf = np.zeros((1, 96, 112, 3), np.uint8)
+    for call in (lambda: r.read(0), lambda: r.meta(0), lambda: r.dims(0),
+                 lambda: r.read_batch_into([0], buf, None)):
+        with pytest.raises(ValueError, match="closed"):
+            call()
+
+    tp = _prepad_tpr(tmp_path)
+    cfg = dataclasses.replace(
+        DEFAULT, train=TrainConfig(batch_size=2),
+        augment=AugmentConfig(max_persons=3),
+    )
+    feed = pipeline.dataset_batches(tp, cfg, target_h=64, target_w=64,
+                                    epochs=1)
+    n = sum(1 for _ in feed)
+    assert n > 0
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(feed)
+    # set_state revives an exhausted feed
+    feed.set_state(b'{"epoch": 0, "offset": 0}')
+    assert next(feed)["images"].shape[0] == 2
+    feed.close()
+
+
 def test_read_batch_into_validation(tmp_path):
     path = str(tmp_path / "ds.tpr")
     tpr.write_samples(path, _samples(n=4))

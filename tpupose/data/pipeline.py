@@ -335,6 +335,7 @@ class TprBatches:
         self._queue: queue.Queue | None = None
         self._stop: threading.Event | None = None
         self._thread: threading.Thread | None = None
+        self._exhausted = False
 
     # -- order/position bookkeeping ------------------------------------
 
@@ -434,11 +435,14 @@ class TprBatches:
         return self
 
     def __next__(self) -> dict[str, np.ndarray]:
+        if self._exhausted:
+            raise StopIteration
         self._ensure_thread()
         item, nxt, err = self._queue.get()
         if err is not None:
             raise err
         if item is None:
+            self._exhausted = True   # repeated next() must not block
             raise StopIteration
         self._pos = nxt
         return item
@@ -453,6 +457,7 @@ class TprBatches:
         s = json.loads(state.decode())
         self._kill_thread()
         self._pos = (int(s["epoch"]), int(s["offset"]))
+        self._exhausted = False
 
     def close(self) -> None:
         self._kill_thread()

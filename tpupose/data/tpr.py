@@ -288,7 +288,13 @@ class TprReader:
     def static_shapes(self) -> bool:
         return bool(self.flags & FLAG_STATIC)
 
+    def _check_open(self) -> None:
+        # a None handle must never reach the C library (NULL deref)
+        if self._py is None and self._h is None:
+            raise ValueError("tpr: reader is closed")
+
     def dims(self, i: int) -> tuple[int, int]:
+        self._check_open()
         if self._py is not None:
             return self._py.dims(i)
         h = ctypes.c_uint32(0)
@@ -299,6 +305,7 @@ class TprReader:
         return h.value, w.value
 
     def meta(self, i: int) -> dict:
+        self._check_open()
         if self._py is not None:
             return json.loads(self._py.meta_bytes(i))
         h = ctypes.c_uint32(0)
@@ -337,6 +344,7 @@ class TprReader:
         Out arrays must be C-contiguous uint8 with leading axis
         >= len(indices) and per-row bytes >= each record's raw size
         (exactly equal for static-geometry files)."""
+        self._check_open()
         idx = np.ascontiguousarray(indices, np.uint64)
         n = len(idx)
         for name, arr in (("img_out", img_out), ("mask_out", mask_out)):
