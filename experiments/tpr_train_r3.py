@@ -53,15 +53,27 @@ def feed_rate(feed, n_batches: int) -> float:
 
 
 def train_rate(cfg, feed, workdir: str) -> dict:
+    """Steady-state rate from the on_step log timestamps (log_every=10);
+    the span from step 10 to the last log excludes compile + warmup.
+    on_step fires after a device_get of that step's losses, so each
+    timestamp marks true completion of the logged step."""
     from tpupose.training import loop
 
+    marks: list[tuple[int, float]] = []
+
+    def on_step(step, logged):
+        marks.append((step, time.perf_counter()))
+
     t0 = time.time()
-    out = loop.train(cfg, feed, workdir=workdir, max_steps=STEPS)
+    out = loop.train(cfg, feed, workdir=workdir, max_steps=STEPS,
+                     on_step=on_step)
     wall = time.time() - t0
-    # steady-state: loop reports steps/s excluding compile
+    steady = [m for m in marks if m[0] >= 10]
+    (s0, t_first), (s1, t_last) = steady[0], steady[-1]
+    sps = (s1 - s0) / (t_last - t_first)
     return {
-        "steps_per_sec": round(out["steps_per_sec"], 3),
-        "samples_per_sec": round(out["steps_per_sec"] * BATCH, 1),
+        "steady_steps_per_sec": round(sps, 3),
+        "steady_samples_per_sec": round(sps * BATCH, 1),
         "wall_s": round(wall, 1),
         "loss": round(float(out["last_losses"]["total"]), 1),
     }
@@ -90,7 +102,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         DEFAULT,
         train=TrainConfig(batch_size=BATCH, base_lr=1e-5,
-                          checkpoint_every=10**6, log_every=40),
+                          checkpoint_every=10**6, log_every=10),
     )
     results = {}
 

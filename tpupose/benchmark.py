@@ -271,6 +271,61 @@ def _measure_train(batch_size: int = 16, iters: int = 12) -> dict:
     }
 
 
+def _measure_feed(n_records: int = 96, batch: int = 16) -> dict:
+    """Host-side training-feed rates: native .tpr (threaded C++ inflate)
+    vs the HDF5-lzf thread feed, records/s on 368^2 records. The feed
+    must out-run train_samples_per_s or training goes input-bound."""
+    import dataclasses
+    import tempfile
+
+    from tpupose.config import DEFAULT
+    from tpupose.data import hdf5 as hdf5_io, pipeline, tpr
+
+    cfg = dataclasses.replace(
+        DEFAULT, train=dataclasses.replace(DEFAULT.train, batch_size=batch)
+    )
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp()
+    h5 = os.path.join(tmp, "feed.h5")
+    with hdf5_io.SampleWriter(h5, compression="lzf") as w:
+        for i in range(n_records):
+            img = rng.integers(0, 255, (368, 368, 3), np.uint8)
+            joints = rng.uniform(10, 350, (2, 18, 3)).astype(np.float32)
+            joints[..., 2] = 1.0
+            w.add(img, np.ones((368, 368), np.float32), joints,
+                  np.float32([184, 184]), np.float32(0.8))
+    tp = os.path.join(tmp, "feed.tpr")
+    with tpr.TprWriter(tp) as w:
+        for s in hdf5_io.read_samples(h5):
+            p = hdf5_io.pad_sample(s, 368, 368, cfg.augment.max_persons)
+            meta = tpr._meta_from_sample(p)
+            meta["prepadded"] = {"max_persons": cfg.augment.max_persons}
+            w.add(p["image"], np.round(p["mask"] * 255).astype(np.uint8),
+                  meta)
+
+    def rate(feed, n_batches):
+        it = iter(feed)
+        next(it)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        return n_batches * batch / (time.perf_counter() - t0)
+
+    n_b = 2 * n_records // batch
+    out = {
+        "feed_native_tpr_rps": round(
+            rate(pipeline.tpr_batches(tp, cfg, epochs=None), n_b), 1
+        ),
+        "feed_hdf5_lzf_rps": round(
+            rate(pipeline.hdf5_batches(h5, cfg, epochs=None), n_b), 1
+        ),
+    }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _probe_backend(timeout_s: float = 600.0) -> str | None:
     """Error string if the accelerator backend is unreachable, else None.
 
@@ -336,6 +391,7 @@ def main(baseline_cache: str | None = None):
     lat1 = _measure_latency(est, image, (1.0,))
     lat4 = _measure_latency(est, image, None, iters=20)
     train = _measure_train()
+    feed = _measure_feed()
 
     baseline = get_baseline(baseline_cache or DEFAULT_BASELINE_CACHE)
     base4_ips = 1.0 / baseline["reference_cpu_latency_4scale_s"]
@@ -362,6 +418,7 @@ def main(baseline_cache: str | None = None):
                 "latency_single_scale_ms": lat1,
                 "latency_4scale_ms": lat4,
                 **train,
+                **feed,
                 "model_tflops_per_image_4scale": round(fl4 / 1e12, 3),
                 "mfu_4scale_pct": round(
                     100.0 * ips4 * fl4 / flops_lib.PEAK_BF16_FLOPS, 2
