@@ -221,6 +221,24 @@ def test_coco_prep_end_to_end(tmp_path, coco_dir):
     np.testing.assert_allclose(neck[:2], (lsho[:2] + rsho[:2]) / 2)
 
 
+def test_coco_prep_to_tpr_matches_h5(tmp_path, coco_dir):
+    """pack() with a .tpr output writes the native container with
+    record-identical content to the HDF5 output."""
+    from tpupose.data import tpr
+
+    ann_path, img_dir = coco_dir
+    h5 = str(tmp_path / "packed.h5")
+    tp = str(tmp_path / "packed.tpr")
+    assert coco_prep.pack(ann_path, img_dir, h5) == 2
+    assert coco_prep.pack(ann_path, img_dir, tp) == 2
+    for a, b in zip(hdf5_io.read_samples(h5), tpr.read_samples(tp)):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        np.testing.assert_allclose(a["joints"], b["joints"], atol=1e-6)
+        np.testing.assert_allclose(a["center"], b["center"], atol=1e-6)
+        np.testing.assert_allclose(a["areas"], b["areas"], atol=1e-4)
+
+
 def test_coco_joints_conversion():
     kps = [0] * 51
     # left_shoulder (idx 5) visible at (10, 20); right_shoulder (idx 6)

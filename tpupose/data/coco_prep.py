@@ -154,11 +154,25 @@ def pack(
     annotation_json: str, image_dir: str, out_path: str, boxsize: int = 368,
     compression: str | None = "lzf",
 ) -> int:
-    """Full prep: annotations + images -> packed HDF5. Returns #records.
+    """Full prep: annotations + images -> packed dataset. Returns #records.
+
+    ``out_path`` ending in ``.tpr`` writes the native record container
+    (read by `native/feed.cpp`'s threaded inflater — the production
+    training feed; `tools/pack_tpr.py --pre-pad` can further pre-pad
+    it to the train geometry). Anything else writes packed HDF5, the
+    reference-compatible format.
 
     ``compression``: see :class:`tpupose.data.hdf5.SampleWriter` — the
     codec bounds training-feed read throughput; ``None`` maximises it.
+    (For ``.tpr``, any non-None value selects zlib.)
     """
+    if out_path.endswith(".tpr"):
+        from tpupose.data import tpr
+
+        return tpr.write_samples(
+            out_path, iter_records(annotation_json, image_dir, boxsize),
+            compression=None if compression in (None, "none") else "zlib",
+        )
     n = 0
     with hdf5_io.SampleWriter(out_path, compression=compression) as w:
         for rec in iter_records(annotation_json, image_dir, boxsize):
