@@ -172,6 +172,11 @@ int tpf_meta(const TpfFile* f, uint64_t i, uint8_t* out, uint64_t cap) {
 int tpf_read(const TpfFile* f, uint64_t i, uint8_t* img, uint8_t* mask) {
   if (i >= f->header->count) return TPF_ERANGE;
   const TpfEntry& e = f->index[i];
+  // format invariant: raw sizes must equal the pixel geometry — callers
+  // size their buffers from (h, w), so a corrupted index entry with
+  // larger raw sizes would otherwise overflow the destination buffer
+  if (e.img_rawsize != 3ull * e.h * e.w || e.mask_rawsize != 1ull * e.h * e.w)
+    return TPF_EFORMAT;
   if (img) {
     int rc = read_blob(f, e.img_off, e.img_csize, e.img_rawsize, e.img_codec,
                        img);

@@ -8,6 +8,7 @@ BASELINE.md round-3 feed audit); `native/feed.cpp` decompresses batches
 with C++ threads straight into the batch arrays."""
 
 import dataclasses
+import json
 import os
 import struct
 import subprocess
@@ -137,6 +138,34 @@ def test_malformed_files(tmp_path):
             r.read(0)
 
 
+def test_geometry_size_invariant(tmp_path):
+    """A corrupted index entry whose raw sizes exceed its (h, w)
+    geometry must be rejected BEFORE decompression — readers size their
+    buffers from the geometry, so this is the buffer-overflow guard in
+    native/feed.cpp::tpf_read (and the twin's mirror)."""
+    path = str(tmp_path / "ds.tpr")
+    tpr.write_samples(path, _samples(n=2, h=32, w=32))
+    raw = bytearray(open(path, "rb").read())
+    magic, flags, _, count, index_off = tpr.HEADER.unpack_from(raw, 0)
+    e = list(tpr.ENTRY.unpack_from(raw, index_off))
+    e[8], e[9] = 4, 4               # shrink geometry, keep raw sizes
+    tpr.ENTRY.pack_into(raw, index_off, *e)
+    open(path, "wb").write(bytes(raw))
+    for env in ({}, {"TPUPOSE_NO_NATIVE_FEED": "1"}):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            with tpr.TprReader(path) as r:
+                with pytest.raises(ValueError, match="malformed"):
+                    r.read(0)
+                buf = np.zeros((1, 4, 4, 3), np.uint8)
+                with pytest.raises(ValueError):
+                    r.read_batch_into([0], buf, None)
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+
 def test_prepadded_feed_matches_hdf5(tmp_path):
     """pack_tpr --pre-pad + tpr_batches fast path must yield batches
     bit-identical to the HDF5 feed (same shuffle seed, same shard)."""
@@ -201,6 +230,58 @@ def test_feed_errors(tmp_path):
     tpr.write_samples(empty, [])
     with pytest.raises(ValueError, match="empty"):
         pipeline.tpr_batches(empty, cfg)
+
+
+def test_corruption_fuzz(tmp_path):
+    """Random byte corruption anywhere in the file must produce clean
+    ValueErrors or (for payload-region flips that keep zlib happy)
+    plausible data — NEVER a crash of the native reader. Every offset
+    class is hit: header, payloads, index."""
+    path = str(tmp_path / "fuzz.tpr")
+    tpr.write_samples(path, _samples(n=6, seed=1))
+    good = open(path, "rb").read()
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        raw = bytearray(good)
+        for _ in range(int(rng.integers(1, 8))):
+            pos = int(rng.integers(0, len(raw)))
+            raw[pos] = int(rng.integers(0, 256))
+        open(path, "wb").write(bytes(raw))
+        try:
+            with tpr.TprReader(path) as r:
+                for i in range(min(r.count, 6)):
+                    img, mask = r.read(i)
+                    r.meta(i)
+                if 0 < r.count <= 6:
+                    h, w = r.dims(0)
+                    if all(r.dims(i) == (h, w) for i in range(r.count)):
+                        imgs = np.zeros((r.count, h, w, 3), np.uint8)
+                        r.read_batch_into(np.arange(r.count), imgs, None,
+                                          threads=3)
+        except (ValueError, MemoryError, json.JSONDecodeError,
+                UnicodeDecodeError, OverflowError):
+            pass  # clean rejection is the contract
+
+
+def test_concurrent_readers_are_thread_safe(tmp_path):
+    """The native reader is read-only over an mmap: concurrent reads
+    from many Python threads (each releasing the GIL into the C
+    library) must return bit-identical data."""
+    import concurrent.futures
+
+    path = str(tmp_path / "mt.tpr")
+    samples = _samples(n=10, seed=7)
+    tpr.write_samples(path, samples)
+    with tpr.TprReader(path) as r:
+        def job(k):
+            i = k % len(samples)
+            img, mask = r.read(i)
+            return i, img, mask
+
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            for i, img, mask in pool.map(job, range(80)):
+                np.testing.assert_array_equal(img, samples[i]["image"])
+                np.testing.assert_array_equal(mask, samples[i]["mask"])
 
 
 def _prepad_tpr(tmp_path, size=64, count=8, persons=3):

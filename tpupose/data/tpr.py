@@ -241,6 +241,10 @@ class _PyReader:
 
     def read_into(self, i, img_out, mask_out):
         e = self._entries[i]
+        # format invariant (mirrors native/feed.cpp tpf_read): raw sizes
+        # must equal the pixel geometry or the entry is corrupt
+        if e[2] != 3 * e[8] * e[9] or e[5] != e[8] * e[9]:
+            raise ValueError("tpr: malformed .tpr file")
         if img_out is not None:
             img_out.reshape(-1)[:e[2]] = np.frombuffer(
                 self._blob(e[0], e[1], e[2], e[10]), np.uint8
