@@ -156,6 +156,61 @@ def test_torch_state_dict_matches_keras(keras_h5, tmp_path):
     )
 
 
+def test_export_weights_h5_roundtrip(tmp_path):
+    """save_keras_h5 is the exact inverse of load_keras_h5, and writes
+    the layer_names/weight_names attrs Keras' by-name loader walks."""
+    import h5py
+
+    from tpupose.models import OpenPose, weights as weights_lib
+
+    model = OpenPose(num_stages=2, dtype=jnp.float32)
+    params = jax.device_get(
+        model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))["params"]
+    )
+    path = str(tmp_path / "exported.h5")
+    names = weights_lib.save_keras_h5(path, params)
+    # 10 vgg + 2 cpm + 2x5 stage1 + 2x7 stage2 conv layers
+    assert len(names) == 36
+
+    with h5py.File(path, "r") as f:
+        assert sorted(n.decode() for n in f.attrs["layer_names"]) == names
+        grp = f["conv1_1"]
+        assert [w.decode() for w in grp.attrs["weight_names"]] == [
+            "conv1_1/kernel:0", "conv1_1/bias:0",
+        ]
+        assert f["conv1_1/conv1_1/kernel:0"].shape == (3, 3, 3, 64)
+
+    zeros = jax.tree.map(np.zeros_like, params)
+    restored, missing = weights_lib.load_keras_h5(path, zeros)
+    assert missing == []
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_weights_cli(keras_h5, tmp_path):
+    """convert-weights -> export-weights round-trips the reference file:
+    the re-exported .h5 carries the same per-layer fingerprints."""
+    import h5py
+
+    from tpupose import cli
+
+    ckpt = str(tmp_path / "ckpt")
+    assert cli.main(["convert-weights", "--weights", keras_h5,
+                     "--output", ckpt]) == 0
+    out = str(tmp_path / "reexported.h5")
+    assert cli.main(["export-weights", "--checkpoint", ckpt,
+                     "--output", out]) == 0
+    with h5py.File(out, "r") as f:
+        for name in ("conv1_1", "conv4_4_CPM", "conv5_5_CPM_L2",
+                     "Mconv7_stage6_L1"):
+            kern = np.asarray(f[name][name]["kernel:0"])
+            assert np.allclose(kern, layer_const(name)), name
+
+
 def test_convert_weights_cli_to_orbax_and_back(keras_h5, tmp_path):
     """End-to-end: cli convert-weights -> Orbax checkpoint -> restored
     params drive a PoseEstimator forward."""

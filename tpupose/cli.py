@@ -346,6 +346,25 @@ def cmd_convert_weights(args) -> int:
     return 0
 
 
+def cmd_export_weights(args) -> int:
+    """Native Orbax params checkpoint -> reference-format Keras .h5.
+
+    The reverse of convert-weights: a model trained/fine-tuned here
+    round-trips back into the reference ecosystem (Keras
+    ``load_weights(by_name=True)`` reads the exported file).
+    """
+    from tpupose.models import weights as weights_lib
+    from tpupose.training import checkpoint as ckpt_lib
+
+    params = ckpt_lib.restore_params(args.checkpoint)
+    if params is None:
+        print(f"no checkpoint found under {args.checkpoint}", file=sys.stderr)
+        return 1
+    names = weights_lib.save_keras_h5(args.output, params)
+    print(f"exported {len(names)} layers: {args.checkpoint} -> {args.output}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from tpupose import benchmark
 
@@ -418,6 +437,13 @@ def main(argv=None) -> int:
     p.add_argument("--boxsize", type=int, default=None)
     p.add_argument("--stages", type=int, default=None)
     p.set_defaults(fn=cmd_convert_weights)
+
+    p = sub.add_parser("export-weights",
+                       help="native Orbax checkpoint -> Keras .h5")
+    p.add_argument("--checkpoint", required=True,
+                   help="Orbax run/checkpoint directory")
+    p.add_argument("--output", required=True, help=".h5 path to write")
+    p.set_defaults(fn=cmd_export_weights)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -123,6 +123,51 @@ def load_torch(path: str, params: Any) -> tuple[Any, list[str]]:
     return _overlay_layers(torch_layers(path), params)
 
 
+def save_keras_h5(path: str, params: Any) -> list[str]:
+    """Export a flax param tree to a reference-format Keras weights file.
+
+    The reverse of :func:`load_keras_h5` — after training/fine-tuning in
+    this framework, the checkpoint can round-trip back into the
+    reference ecosystem (Keras ``model.load_weights(path, by_name=True)``
+    or any of the torch/caffe ports that consume the converted ``.h5``).
+    Layout matches Keras topological weight files: one group per layer
+    name holding ``<layer>/kernel:0`` / ``<layer>/bias:0`` datasets, with
+    the ``layer_names`` / ``weight_names`` attrs Keras' by-name loader
+    walks. Returns the list of exported Keras layer names.
+    """
+    import h5py
+    import jax
+
+    layers: dict[str, dict[str, np.ndarray]] = {}
+    for path_keys, value in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [getattr(k, "key", str(k)) for k in path_keys]
+        if len(keys) < 3 or keys[-1] not in ("kernel", "bias"):
+            continue
+        keras_name = _flax_name_to_keras(keys[-3], keys[-2])
+        if keras_name is None:
+            continue
+        layers.setdefault(keras_name, {})[keys[-1]] = np.asarray(
+            value, dtype=np.float32
+        )
+
+    names = sorted(layers)
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.asarray(
+            [n.encode() for n in names], dtype="S64"
+        )
+        f.attrs["backend"] = b"tensorflow"
+        for name in names:
+            grp = f.create_group(name)
+            weight_names = []
+            for wname in ("kernel", "bias"):
+                if wname in layers[name]:
+                    ds = f"{name}/{wname}:0"
+                    grp.create_dataset(ds, data=layers[name][wname])
+                    weight_names.append(ds.encode())
+            grp.attrs["weight_names"] = np.asarray(weight_names, dtype="S96")
+    return names
+
+
 def load_reference_weights(path: str, params: Any) -> tuple[Any, list[str]]:
     """Format-dispatching loader: ``.caffemodel``, torch ``.pth``/``.pt``,
     or Keras ``.h5``."""
