@@ -111,9 +111,13 @@ TpfFile* tpf_open(const char* path, int* err) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0 || st.st_size < (off_t)sizeof(TpfHeader)) {
+  if (fstat(fd, &st) != 0) {
     close(fd);
-    if (st.st_size < (off_t)sizeof(TpfHeader)) *err = TPF_EFORMAT;
+    return nullptr;
+  }
+  if (st.st_size < (off_t)sizeof(TpfHeader)) {
+    close(fd);
+    *err = TPF_EFORMAT;
     return nullptr;
   }
   void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);

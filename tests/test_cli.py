@@ -123,3 +123,48 @@ def test_demo_image_missing_file():
     r = run_cli(["demo-image", "--image", "/nonexistent.png", "--stages", "1"])
     assert r.returncode == 2
     assert "cannot read" in r.stderr
+
+
+def test_demo_image_config_ini_and_json(tmp_path):
+    """--config (reference INI) + --json: the migration-surface flags."""
+    import cv2
+
+    img_path = str(tmp_path / "in.png")
+    json_path = str(tmp_path / "people.json")
+    ini_path = str(tmp_path / "config")
+    cv2.imwrite(
+        img_path,
+        np.random.default_rng(1).integers(0, 255, (96, 96, 3)).astype(np.uint8),
+    )
+    # reference-format INI pinning a single 0.5 scale (keeps the run small)
+    with open(ini_path, "w") as f:
+        f.write("[param]\nscale_search = [0.5]\nthre1 = 0.1\nthre2 = 0.05\n"
+                "[model1]\nboxsize = 368\nstride = 8\npadValue = 128\n")
+    r = run_cli(
+        ["demo-image", "--image", img_path, "--json", json_path,
+         "--config", ini_path, "--stages", "1"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(json_path) as f:
+        people = json.load(f)
+    assert people == json.loads(r.stdout[r.stdout.index("["):])
+
+
+def test_train_vgg19_npz_init(tmp_path):
+    """--vgg19-npz overlays ImageNet convs onto a fresh init (from_vgg)."""
+    npz = str(tmp_path / "vgg19.npz")
+    rng = np.random.default_rng(2)
+    np.savez(
+        npz,
+        conv1_1_kernel=rng.normal(size=(3, 3, 3, 64)).astype(np.float32),
+        conv1_1_bias=rng.normal(size=(64,)).astype(np.float32),
+    )
+    r = run_cli(
+        [
+            "train", "--dataset", "synthetic", "--max-steps", "1",
+            "--batch-size", "2", "--boxsize", "64", "--stages", "1",
+            "--vgg19-npz", npz, "--workdir", str(tmp_path / "run"),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "not found" not in r.stderr

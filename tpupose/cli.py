@@ -28,6 +28,11 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
         help="native Orbax checkpoint dir (from train/finetune/"
              "convert-weights); takes precedence over --weights",
     )
+    p.add_argument("--config", default=None, metavar="INI",
+                   help="reference-format INI config file (the upstream "
+                        "`config`: scale_search, thre1/thre2, boxsize, "
+                        "stride, padValue, ...); explicit flags below "
+                        "override it")
     p.add_argument("--scales", default=None,
                    help="comma-separated pyramid scales, e.g. 0.5,1,1.5,2")
     p.add_argument("--boxsize", type=int, default=None,
@@ -48,8 +53,12 @@ def _config(args) -> "PoseConfig":
     from tpupose.config import DEFAULT, with_scales
 
     cfg = DEFAULT
+    if getattr(args, "config", None):
+        from tpupose.config_io import load_reference_config
+
+        cfg = load_reference_config(args.config, base=cfg)
     if getattr(args, "scales", None):
-        cfg = with_scales(tuple(float(s) for s in args.scales.split(",")))
+        cfg = with_scales(tuple(float(s) for s in args.scales.split(",")), cfg)
     if getattr(args, "boxsize", None):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, boxsize=args.boxsize)
@@ -100,6 +109,10 @@ def cmd_demo_image(args) -> int:
         return 2
     out = est.process(np.asarray(image), draw=True)
     print(json.dumps(out["people"], indent=2))
+    if getattr(args, "json_out", None):
+        with open(args.json_out, "w") as f:
+            json.dump(out["people"], f, indent=2)
+        print(f"keypoints written to {args.json_out}", file=sys.stderr)
     if args.output:
         cv2.imwrite(args.output, out["canvas"])
         print(f"overlay written to {args.output}", file=sys.stderr)
@@ -235,6 +248,26 @@ def _run_training(args, frozen_vgg: bool) -> int:
         params, loaded = weights_lib.maybe_load_pretrained(params, args.weights)
         if not loaded:
             print(f"warning: weights file {args.weights} not found", file=sys.stderr)
+
+    if getattr(args, "vgg19_npz", None):
+        # the reference's from_vgg init: ImageNet VGG19 convs overlaid on
+        # the (possibly fresh) param tree before training starts
+        if params is None:
+            import jax
+            import jax.numpy as jnp
+
+            model = OpenPose(
+                num_stages=cfg.model.num_stages,
+                dtype=jnp.dtype(cfg.model.compute_dtype),
+            )
+            dummy = jnp.zeros(
+                (1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32
+            )
+            params = model.init(jax.random.PRNGKey(0), dummy)["params"]
+        params, ok = weights_lib.load_vgg19_imagenet_npz(args.vgg19_npz, params)
+        if not ok:
+            print(f"warning: VGG19 npz {args.vgg19_npz} not found",
+                  file=sys.stderr)
 
     if args.dataset == "synthetic":
         batches = pipeline.synthetic_batches(cfg, n_batches=args.max_steps or 10)
@@ -379,6 +412,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("demo-image", help="single-image inference")
     p.add_argument("--image", required=True)
     p.add_argument("--output", default=None, help="overlay image path")
+    p.add_argument("--json", default=None, dest="json_out",
+                   help="write the keypoint JSON to this path (always "
+                        "also printed to stdout)")
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_demo_image)
 
@@ -412,6 +448,10 @@ def main(argv=None) -> int:
                        "(exact mid-epoch resume after preemption)")
         p.add_argument("--data-workers", type=int, default=0,
                        help="Grain prep processes (0 = in-process)")
+        p.add_argument("--vgg19-npz", default=None, metavar="NPZ",
+                       help="overlay VGG19 ImageNet conv weights from an "
+                            ".npz onto the init (the reference's from_vgg "
+                            "fine-tune initialisation)")
         _add_common_model_args(p)
         p.set_defaults(fn=fn)
 
