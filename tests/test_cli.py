@@ -168,3 +168,47 @@ def test_train_vgg19_npz_init(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "not found" not in r.stderr
+    assert "overlay: 2 arrays applied" in r.stdout
+
+    # ADVICE r3: combining --vgg19-npz with a restored checkpoint must warn
+    # (the overlay overwrites the restored VGG convs)
+    r2 = run_cli(
+        [
+            "train", "--dataset", "synthetic", "--max-steps", "2",
+            "--batch-size", "2", "--boxsize", "64", "--stages", "1",
+            "--vgg19-npz", npz, "--workdir", str(tmp_path / "run"),
+            "--checkpoint", str(tmp_path / "run" / "checkpoints"),
+        ]
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "ON TOP" in r2.stderr
+
+
+def test_train_vgg19_npz_no_match_warns(tmp_path):
+    """ADVICE r3: a wrongly-keyed npz must not silently no-op."""
+    npz = str(tmp_path / "bad.npz")
+    np.savez(npz, totally_wrong_key=np.zeros((3, 3), np.float32))
+    r = run_cli(
+        [
+            "train", "--dataset", "synthetic", "--max-steps", "1",
+            "--batch-size", "2", "--boxsize", "64", "--stages", "1",
+            "--vgg19-npz", npz, "--workdir", str(tmp_path / "run"),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "had no effect" in r.stderr
+
+
+def test_config_flag_error_paths(tmp_path):
+    """ADVICE r3: missing/malformed --config exits cleanly with code 2."""
+    r = run_cli(["demo-image", "--image", "x.png",
+                 "--config", str(tmp_path / "nope.ini")])
+    assert r.returncode == 2
+    assert "error: cannot read" in r.stderr
+    assert "Traceback" not in r.stderr
+    bad = tmp_path / "bad.ini"
+    bad.write_text("key_without_any_section = 1\n")
+    r = run_cli(["demo-image", "--image", "x.png", "--config", str(bad)])
+    assert r.returncode == 2
+    assert "error: cannot parse" in r.stderr
+    assert "Traceback" not in r.stderr

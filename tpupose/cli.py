@@ -54,9 +54,20 @@ def _config(args) -> "PoseConfig":
 
     cfg = DEFAULT
     if getattr(args, "config", None):
-        from tpupose.config_io import load_reference_config
+        from tpupose.config_io import read_reference_config
 
-        cfg = load_reference_config(args.config, base=cfg)
+        try:
+            res = read_reference_config(args.config, base=cfg)
+        except FileNotFoundError:
+            print(f"error: cannot read {args.config}", file=sys.stderr)
+            raise SystemExit(2)
+        except Exception as e:  # malformed INI -> clean error, not traceback
+            print(f"error: cannot parse {args.config}: {e}", file=sys.stderr)
+            raise SystemExit(2)
+        cfg = res.config
+        # the reference config names its own weights (caffemodel=...);
+        # surface it as the default --weights if the file exists
+        args._config_weights_hint = res.weights_hint
     if getattr(args, "scales", None):
         cfg = with_scales(tuple(float(s) for s in args.scales.split(",")), cfg)
     if getattr(args, "boxsize", None):
@@ -92,7 +103,19 @@ def _estimator(args, cfg=None) -> "PoseEstimator":
         if params is None:
             raise SystemExit(f"error: no checkpoint found in {ckpt_dir}")
         return PoseEstimator(cfg, params=params)
-    return PoseEstimator(cfg, weights_path=args.weights)
+    weights = getattr(args, "weights", None)
+    if weights is None:
+        # --config pointed at a reference file whose [models] section names
+        # its own caffemodel — use it when the file actually exists
+        hint = getattr(args, "_config_weights_hint", None)
+        if hint:
+            import os
+
+            if os.path.exists(hint):
+                print(f"using weights from reference config: {hint}",
+                      file=sys.stderr)
+                weights = hint
+    return PoseEstimator(cfg, weights_path=weights)
 
 
 def cmd_demo_image(args) -> int:
@@ -252,6 +275,16 @@ def _run_training(args, frozen_vgg: bool) -> int:
     if getattr(args, "vgg19_npz", None):
         # the reference's from_vgg init: ImageNet VGG19 convs overlaid on
         # the (possibly fresh) param tree before training starts
+        if params is not None:
+            # the reference's from_vgg path only applies to a fresh init;
+            # overlaying ImageNet convs on restored weights degrades them
+            print(
+                "warning: --vgg19-npz overlays ImageNet convs ON TOP of the "
+                "restored --checkpoint/--weights VGG base (the reference's "
+                "from_vgg only ever applies to a fresh init); drop the flag "
+                "to keep the trained convs",
+                file=sys.stderr,
+            )
         if params is None:
             import jax
             import jax.numpy as jnp
@@ -266,8 +299,8 @@ def _run_training(args, frozen_vgg: bool) -> int:
             params = model.init(jax.random.PRNGKey(0), dummy)["params"]
         params, ok = weights_lib.load_vgg19_imagenet_npz(args.vgg19_npz, params)
         if not ok:
-            print(f"warning: VGG19 npz {args.vgg19_npz} not found",
-                  file=sys.stderr)
+            print(f"warning: VGG19 npz {args.vgg19_npz} had no effect "
+                  "(missing file or no matching arrays)", file=sys.stderr)
 
     if args.dataset == "synthetic":
         batches = pipeline.synthetic_batches(cfg, n_batches=args.max_steps or 10)
@@ -451,7 +484,9 @@ def main(argv=None) -> int:
         p.add_argument("--vgg19-npz", default=None, metavar="NPZ",
                        help="overlay VGG19 ImageNet conv weights from an "
                             ".npz onto the init (the reference's from_vgg "
-                            "fine-tune initialisation)")
+                            "fine-tune initialisation); applied AFTER any "
+                            "--checkpoint/--weights restore, overwriting "
+                            "the restored VGG convs — meant for fresh inits")
         _add_common_model_args(p)
         p.set_defaults(fn=fn)
 

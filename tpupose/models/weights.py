@@ -247,13 +247,30 @@ def load_vgg19_imagenet_npz(path: str, params: Any) -> tuple[Any, bool]:
     import jax
 
     data = np.load(path)
+    matched = 0
 
     def rebuild(path_keys, value):
+        nonlocal matched
         keys = [getattr(k, "key", str(k)) for k in path_keys]
         if len(keys) >= 3 and keys[-3] == "vgg" and keys[-2] in _VGG19_TORCH_ORDER:
             key = f"{keys[-2]}_{keys[-1]}"
             if key in data and data[key].shape == value.shape:
+                matched += 1
                 return np.asarray(data[key], dtype=np.float32)
         return value
 
-    return jax.tree_util.tree_map_with_path(rebuild, params), True
+    out = jax.tree_util.tree_map_with_path(rebuild, params)
+    if matched == 0:
+        # a wrongly-keyed / transposed npz would otherwise silently no-op
+        # and training would proceed from random init (ADVICE r3)
+        import warnings
+
+        warnings.warn(
+            f"VGG19 npz {path}: 0 of {len(data.files)} arrays matched any "
+            "vgg conv name+shape — overlay had no effect (expected keys "
+            "like 'conv1_1_kernel' with (kh,kw,in,out) layout)",
+            stacklevel=2,
+        )
+        return params, False
+    print(f"VGG19 npz overlay: {matched} arrays applied from {path}")
+    return out, True
