@@ -22,6 +22,15 @@
 //   index: count entries x 88 bytes (TpfEntry below)
 //
 // Codec ids: 0 = raw bytes, 1 = zlib stream.
+//
+// Integrity: TpfEntry.reserved carries per-payload crc32s of the RAW
+// (decompressed) bytes — low 32 bits image, high 32 bits mask — each
+// mapped 0 -> 1 at write time so the value 0 still means "unchecked"
+// (files written before the field existed verify as before; the format
+// stays v01). Readers recompute the crc after decode and fail with
+// TPF_ECRC on mismatch: a silent byte flip in a raw payload, or a zlib
+// stream that inflates cleanly to wrong bytes, is now caught instead of
+// feeding plausible wrong pixels to training.
 
 #include <atomic>
 #include <cstdint>
@@ -76,6 +85,7 @@ enum {
   TPF_ERANGE = -3,   // record index out of range
   TPF_ECODEC = -4,   // unknown codec id
   TPF_EINFLATE = -5, // zlib failure or size mismatch
+  TPF_ECRC = -6,     // payload crc32 mismatch (corrupted data)
 };
 
 int check_span(const TpfFile* f, uint64_t off, uint64_t len) {
@@ -84,22 +94,27 @@ int check_span(const TpfFile* f, uint64_t off, uint64_t len) {
 }
 
 int read_blob(const TpfFile* f, uint64_t off, uint64_t csize,
-              uint64_t rawsize, uint32_t codec, uint8_t* out) {
+              uint64_t rawsize, uint32_t codec, uint32_t expect_crc,
+              uint8_t* out) {
   int rc = check_span(f, off, csize);
   if (rc != TPF_OK) return rc;
   const uint8_t* src = f->base + off;
   if (codec == 0) {
     if (csize != rawsize) return TPF_EFORMAT;
     std::memcpy(out, src, rawsize);
-    return TPF_OK;
-  }
-  if (codec == 1) {
+  } else if (codec == 1) {
     uLongf dst_len = rawsize;
     int z = uncompress(out, &dst_len, src, csize);
     if (z != Z_OK || dst_len != rawsize) return TPF_EINFLATE;
-    return TPF_OK;
+  } else {
+    return TPF_ECODEC;
   }
-  return TPF_ECODEC;
+  if (expect_crc != 0) {  // 0 = unchecked (pre-crc files)
+    uint32_t c = (uint32_t)crc32(0L, out, rawsize);
+    if (c == 0) c = 1;  // writer maps 0 -> 1 to keep 0 as the sentinel
+    if (c != expect_crc) return TPF_ECRC;
+  }
+  return TPF_OK;
 }
 
 }  // namespace
@@ -183,12 +198,12 @@ int tpf_read(const TpfFile* f, uint64_t i, uint8_t* img, uint8_t* mask) {
     return TPF_EFORMAT;
   if (img) {
     int rc = read_blob(f, e.img_off, e.img_csize, e.img_rawsize, e.img_codec,
-                       img);
+                       (uint32_t)(e.reserved & 0xffffffffull), img);
     if (rc != TPF_OK) return rc;
   }
   if (mask) {
     int rc = read_blob(f, e.mask_off, e.mask_csize, e.mask_rawsize,
-                       e.mask_codec, mask);
+                       e.mask_codec, (uint32_t)(e.reserved >> 32), mask);
     if (rc != TPF_OK) return rc;
   }
   return TPF_OK;

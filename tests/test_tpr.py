@@ -232,11 +232,74 @@ def test_feed_errors(tmp_path):
         pipeline.tpr_batches(empty, cfg)
 
 
+def _read_index(path):
+    """Parse the file's index table -> list of entry tuples."""
+    raw = open(path, "rb").read()
+    _, _, _, count, index_off = tpr.HEADER.unpack_from(raw, 0)
+    return raw, [
+        tpr.ENTRY.unpack_from(raw, index_off + i * tpr.ENTRY.size)
+        for i in range(count)
+    ], index_off
+
+
+@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize("compression", ["zlib", "none"])
+def test_crc_detects_payload_corruption(tmp_path, monkeypatch, native,
+                                        compression):
+    """A byte flip inside an image/mask payload must raise, never return
+    plausible wrong pixels — the round-3 fuzz documented raw-codec flips
+    (and zlib-happy flips) passing silently; the per-payload crc32 in the
+    entry's reserved field closes that."""
+    if not native:
+        monkeypatch.setenv("TPUPOSE_NO_NATIVE_FEED", "1")
+    elif not tpr.native_available():
+        pytest.skip("no native feed")
+    path = str(tmp_path / "c.tpr")
+    samples = _samples(n=4, seed=3)
+    tpr.write_samples(path, samples, compression=compression)
+    good, entries, _ = _read_index(path)
+    rng = np.random.default_rng(0)
+    for i, e in enumerate(entries):
+        for off, csize in ((e[0], e[1]), (e[3], e[4])):  # img, mask blobs
+            raw = bytearray(good)
+            pos = off + int(rng.integers(0, csize))
+            raw[pos] ^= 0xFF
+            open(path, "wb").write(bytes(raw))
+            with tpr.TprReader(path) as r:
+                try:
+                    img, mask = r.read(i)
+                except ValueError:
+                    continue  # detected: crc mismatch or inflate failure
+                # undetected read must still be bit-correct (impossible for
+                # crc32 + a single byte flip — this is the hard assert)
+                np.testing.assert_array_equal(img, samples[i]["image"])
+                np.testing.assert_array_equal(mask, samples[i]["mask"])
+                raise AssertionError("flip neither detected nor corrected")
+
+
+def test_pre_crc_files_still_read(tmp_path):
+    """reserved=0 means 'unchecked': files written before the crc field
+    existed (or by third-party writers) keep reading — v01 compatible."""
+    path = str(tmp_path / "old.tpr")
+    samples = _samples(n=3, seed=5)
+    tpr.write_samples(path, samples)
+    good, entries, index_off = _read_index(path)
+    raw = bytearray(good)
+    for i, e in enumerate(entries):  # zero every reserved field
+        tpr.ENTRY.pack_into(raw, index_off + i * tpr.ENTRY.size,
+                            *e[:12], 0)
+    open(path, "wb").write(bytes(raw))
+    for i, back in enumerate(tpr.read_samples(path)):
+        _assert_sample_equal(back, samples[i])
+
+
 def test_corruption_fuzz(tmp_path):
     """Random byte corruption anywhere in the file must produce clean
     ValueErrors or (for payload-region flips that keep zlib happy)
     plausible data — NEVER a crash of the native reader. Every offset
-    class is hit: header, payloads, index."""
+    class is hit: header, payloads, index. (Payload flips are now also
+    *detected* via the per-payload crc32 — test_crc_detects_payload_
+    corruption asserts that; this fuzz keeps the no-crash contract.)"""
     path = str(tmp_path / "fuzz.tpr")
     tpr.write_samples(path, _samples(n=6, seed=1))
     good = open(path, "rb").read()

@@ -12,7 +12,11 @@ Layout (little-endian; full spec in `native/feed.cpp`):
   header | record payloads | index table
 Each record holds an image blob (H, W, 3 u8), a mask blob (H, W u8) and
 a JSON meta blob (joints / center / scale_provided / areas — the same
-sample contract as `data/hdf5.py`). Codecs: 0 raw, 1 zlib.
+sample contract as `data/hdf5.py`). Codecs: 0 raw, 1 zlib. Each entry's
+`reserved` u64 carries crc32s of the raw image (low 32) and mask (high
+32) payloads, verified on every read by both readers (0 = unchecked, so
+pre-crc files stay compatible); corrupted bytes raise instead of feeding
+plausible wrong pixels to training.
 
 Like `data/rle.py`, the native library is compiled on first use and a
 pure-Python twin (mmap + the `zlib` module) keeps every reader working
@@ -50,7 +54,14 @@ _ERRORS = {
     -3: "index out of range / undersized buffer",
     -4: "unknown codec id",
     -5: "zlib inflate failure or raw-size mismatch",
+    -6: "payload crc32 mismatch (corrupted data)",
 }
+
+
+def _payload_crc(data: bytes) -> int:
+    """crc32 of a raw payload, 0 mapped to 1 (0 = 'unchecked' sentinel,
+    so pre-crc v01 files keep reading; see native/feed.cpp)."""
+    return zlib.crc32(data) or 1
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "feed.cpp"))
@@ -152,13 +163,14 @@ class TprWriter:
         self._entries: list[tuple] = []
         self._dims: set[tuple[int, int]] = set()
 
-    def _blob(self, data: bytes) -> tuple[int, int, int, int]:
+    def _blob(self, data: bytes) -> tuple[int, int, int, int, int]:
         raw = len(data)
+        crc = _payload_crc(data)        # over the RAW bytes
         if self._codec == CODEC_ZLIB:
             data = zlib.compress(data, self._level)
         off = self._f.tell()
         self._f.write(data)
-        return off, len(data), raw, self._codec
+        return off, len(data), raw, self._codec, crc
 
     def add(self, image: np.ndarray, mask: np.ndarray, meta: dict) -> None:
         image = np.ascontiguousarray(image, np.uint8)
@@ -169,13 +181,16 @@ class TprWriter:
                 f"record shapes must be (H,W,3)/(H,W): {image.shape} "
                 f"{mask.shape}"
             )
-        io, ic, ir, icod = self._blob(image.tobytes())
-        mo, mc, mr, mcod = self._blob(mask.tobytes())
+        io, ic, ir, icod, icrc = self._blob(image.tobytes())
+        mo, mc, mr, mcod, mcrc = self._blob(mask.tobytes())
         mb = json.dumps(meta).encode()
         meta_off = self._f.tell()
         self._f.write(mb)
+        # reserved u64 = mask crc (high 32) | image crc (low 32)
+        reserved = (mcrc << 32) | icrc
         self._entries.append(
-            (io, ic, ir, mo, mc, mr, meta_off, len(mb), h, w, icod, mcod, 0)
+            (io, ic, ir, mo, mc, mr, meta_off, len(mb), h, w, icod, mcod,
+             reserved)
         )
         self._dims.add((h, w))
 
@@ -216,20 +231,26 @@ class _PyReader:
             for i in range(self.count)
         ]
 
-    def _blob(self, off, csize, raw, codec):
+    def _blob(self, off, csize, raw, codec, expect_crc=0):
         data = self._mm[off:off + csize]
         if len(data) != csize:
             raise ValueError("tpr: malformed .tpr file")
         if codec == CODEC_RAW:
             if csize != raw:
                 raise ValueError("tpr: malformed .tpr file")
-            return data
-        if codec == CODEC_ZLIB:
-            out = zlib.decompress(data)
+            out = data
+        elif codec == CODEC_ZLIB:
+            try:
+                out = zlib.decompress(data)
+            except zlib.error as e:  # match the native reader's ValueError
+                raise ValueError(f"tpr: zlib inflate failure ({e})") from e
             if len(out) != raw:
                 raise ValueError("tpr: zlib inflate failure")
-            return out
-        raise ValueError("tpr: unknown codec id")
+        else:
+            raise ValueError("tpr: unknown codec id")
+        if expect_crc != 0 and _payload_crc(out) != expect_crc:
+            raise ValueError("tpr: payload crc32 mismatch (corrupted data)")
+        return out
 
     def dims(self, i):
         e = self._entries[i]
@@ -247,11 +268,12 @@ class _PyReader:
             raise ValueError("tpr: malformed .tpr file")
         if img_out is not None:
             img_out.reshape(-1)[:e[2]] = np.frombuffer(
-                self._blob(e[0], e[1], e[2], e[10]), np.uint8
+                self._blob(e[0], e[1], e[2], e[10], e[12] & 0xFFFFFFFF),
+                np.uint8,
             )
         if mask_out is not None:
             mask_out.reshape(-1)[:e[5]] = np.frombuffer(
-                self._blob(e[3], e[4], e[5], e[11]), np.uint8
+                self._blob(e[3], e[4], e[5], e[11], e[12] >> 32), np.uint8
             )
 
     def close(self):
