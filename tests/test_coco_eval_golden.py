@@ -164,6 +164,91 @@ def test_greedy_matching_prefers_best_oks_not_first_gt():
     np.testing.assert_allclose(res["AP50"], 51 / 101, rtol=1e-9)
 
 
+def unlabelled_kps():
+    """(18, 3) GT with NO labelled keypoints (v=2 everywhere) — the
+    shape of a COCO crowd / unannotated-person ignore annotation."""
+    kp = np.zeros((18, 3))
+    kp[:, 2] = 2.0
+    return kp
+
+
+def test_oks_bbox_fallback_hand_computed():
+    """computeOks parity for keypointless GT: distances clamp to the
+    2x-expanded bbox and average over ALL detection slots."""
+    gt = unlabelled_kps()
+    bbox = (100.0, 100.0, 50.0, 40.0)   # expanded: x [50, 200], y [60, 180]
+    area = 2000.0
+    pred = np.zeros((18, 3))
+    pred[:, 0] = 205.0                  # 5 px beyond x1=200
+    pred[:, 1] = 100.0                  # inside y range -> dy = 0
+    expected = float(np.mean(
+        np.exp(-25.0 / (2 * coco_eval.SIGMAS) ** 2 / (2 * area))
+    ))
+    got = coco_eval.oks(pred, gt, area, bbox=bbox)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+    # inside the expanded box: dx = dy = 0 -> OKS exactly 1
+    pred[:, 0] = 120.0
+    assert coco_eval.oks(pred, gt, area, bbox=bbox) == 1.0
+    # no bbox -> nothing to match against
+    assert coco_eval.oks(pred, gt, area) == 0.0
+
+
+def _crowd_scene(iscrowd):
+    """1 real GT + 1 keypointless ignore GT (bbox far away) + 3 dets:
+    two high-scored dets inside the ignore region, one perfect det."""
+    gt1 = person_kps(0.0)
+    bbox = [400.0, 400.0, 120.0, 120.0]
+    gts = [[
+        {"keypoints": gt1, "area": 5000.0},
+        {"keypoints": unlabelled_kps(), "area": 40000.0,
+         "iscrowd": iscrowd, "bbox": bbox},
+    ]]
+    in_region = np.zeros((18, 3))
+    in_region[:, 0] = 450.0
+    in_region[:, 1] = 450.0
+    preds = [[as_pred(in_region, 0.95), as_pred(in_region, 0.93),
+              as_pred(gt1, 0.9)]]
+    return preds, gts
+
+
+def test_crowd_region_absorbs_any_number_of_detections():
+    """COCOeval lets iscrowd GT match repeatedly: BOTH detections inside
+    the crowd region are match-to-ignore (neither TP nor FP), the crowd
+    never enters recall's denominator -> AP = AR = 1.0. Before the
+    ignore semantics landed, those two outranked the true detection as
+    false positives and AP collapsed to 0.5."""
+    preds, gts = _crowd_scene(iscrowd=1)
+    res = coco_eval.evaluate(preds, gts)
+    assert res["AP"] == res["AP50"] == 1.0
+    assert res["AR"] == 1.0
+
+
+def test_keypointless_noncrowd_gt_matches_ignore_once():
+    """num_keypoints==0 GT is ignored like a crowd, but a NON-crowd GT
+    absorbs only ONE detection: the second in-region detection stays a
+    false positive outranking the TP. Hand-computed: global ranking
+    [ignored, FP, TP] -> kept [FP, TP], precision [0, 1/2], recall
+    [0, 1] -> right-cummax reads 0.5 at every recall point -> AP 0.5."""
+    preds, gts = _crowd_scene(iscrowd=0)
+    res = coco_eval.evaluate(preds, gts)
+    np.testing.assert_allclose(res["AP"], 0.5, rtol=1e-9)
+    np.testing.assert_allclose(res["AP50"], 0.5, rtol=1e-9)
+    assert res["AR"] == 1.0
+
+
+def test_explicit_num_keypoints_overrides_labelled_count():
+    """A GT with labelled keypoints but num_keypoints=0 (as a COCO
+    annotation field) is still an ignore region — _prepare reads the
+    field, not the array."""
+    gt1, gt2 = person_kps(0.0), person_kps(300.0)
+    gts = [[{"keypoints": gt1, "area": 5000.0},
+            {"keypoints": gt2, "area": 5000.0, "num_keypoints": 0}]]
+    # only gt1 detected; gt2 ignored -> recall denominator is 1 -> AR 1.0
+    preds = [[as_pred(gt1, 0.9)]]
+    res = coco_eval.evaluate(preds, gts)
+    assert res["AP"] == res["AR"] == 1.0
+
+
 def test_detection_area_includes_placeholder_slots():
     """loadRes parity: a detection's extent box spans ALL keypoint
     slots, so absent keypoints at their (0, 0) placeholder stretch it

@@ -32,15 +32,32 @@ OKS_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 
 
 def oks(
-    pred: np.ndarray, gt: np.ndarray, area: float
+    pred: np.ndarray, gt: np.ndarray, area: float,
+    bbox: "np.ndarray | None" = None,
 ) -> float:
     """Object keypoint similarity between one (18, 3) prediction
-    [x, y, score] and one (18, 3) GT [x, y, v] (v < 2 = labelled)."""
+    [x, y, score] and one (18, 3) GT [x, y, v] (v < 2 = labelled).
+
+    When the GT has NO labelled keypoints (a crowd / unannotated-person
+    ignore region) pycocotools' computeOks falls back to measuring each
+    detection keypoint's clamped distance to the GT box expanded 2x in
+    every direction — that is how detections land ON crowd regions and
+    match-to-ignore instead of counting as false positives. Reproduced
+    here when ``bbox`` ([x, y, w, h]) is given; without a bbox such GT
+    scores 0 (nothing to match against)."""
     labelled = gt[:, 2] < 2
-    if not labelled.any():
-        return 0.0
-    d2 = (pred[:, 0] - gt[:, 0]) ** 2 + (pred[:, 1] - gt[:, 1]) ** 2
     var = (2 * SIGMAS) ** 2
+    if not labelled.any():
+        if bbox is None:
+            return 0.0
+        x, y, w, h = (float(v) for v in bbox)
+        x0, x1 = x - w, x + 2 * w
+        y0, y1 = y - h, y + 2 * h
+        dx = np.maximum(0.0, x0 - pred[:, 0]) + np.maximum(0.0, pred[:, 0] - x1)
+        dy = np.maximum(0.0, y0 - pred[:, 1]) + np.maximum(0.0, pred[:, 1] - y1)
+        e = (dx ** 2 + dy ** 2) / var / (max(area, 1.0) * 2.0)
+        return float(np.exp(-e).mean())
+    d2 = (pred[:, 0] - gt[:, 0]) ** 2 + (pred[:, 1] - gt[:, 1]) ** 2
     e = d2 / var / (max(area, 1.0) * 2.0)
     return float(np.exp(-e)[labelled].mean())
 
@@ -93,7 +110,8 @@ def _to_internal(kp) -> np.ndarray:
     raise ValueError(f"GT keypoints must be (17|18, 3), got {kp.shape}")
 
 
-def _eval_image(scores, ious, dt_areas, gt_areas, arng):
+def _eval_image(scores, ious, dt_areas, gt_areas, arng,
+                gt_base_ig=None, gt_crowd=None):
     """COCOeval.evaluateImg for one image / one area range.
 
     ``scores`` (D,), ``ious`` (D, G) and ``dt_areas`` (D,) are
@@ -106,6 +124,12 @@ def _eval_image(scores, ious, dt_areas, gt_areas, arng):
     FP), and they don't count toward recall's denominator. Unmatched
     detections whose own (keypoint-extent) area falls outside the range
     are ignored too, exactly as COCOeval does.
+
+    ``gt_base_ig`` (G,) marks GT ignored regardless of area — COCOeval's
+    keypoint `_prepare` sets it for ``iscrowd=1`` and ``num_keypoints==0``
+    annotations. ``gt_crowd`` (G,) marks crowd GT, which (unlike normal
+    GT) may absorb ANY number of detections — COCOeval skips the
+    already-matched check for them.
     """
     n_thr = len(OKS_THRESHOLDS)
     n_det = len(scores)
@@ -113,6 +137,10 @@ def _eval_image(scores, ious, dt_areas, gt_areas, arng):
     gt_ig = np.asarray(
         [not (arng[0] <= a <= arng[1]) for a in gt_areas], bool
     )
+    if gt_base_ig is not None:
+        gt_ig |= np.asarray(gt_base_ig, bool)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(n_gt, bool)
     # gts sorted ignored-last (stable), COCOeval's gtind
     gt_order = np.argsort(gt_ig, kind="stable")
 
@@ -125,7 +153,9 @@ def _eval_image(scores, ious, dt_areas, gt_areas, arng):
             best_iou = min(thr, 1 - 1e-10)
             m = -1
             for gj in gt_order:
-                if gt_matched[gj]:
+                # crowd GT may be matched repeatedly (COCOeval's
+                # `gtm[tind,gind]>0 and not iscrowd[gind]` skip)
+                if gt_matched[gj] and not gt_crowd[gj]:
                     continue
                 # best match so far is a real gt; later gts are all
                 # ignored (sorted last) — stop
@@ -186,8 +216,17 @@ def evaluate(
 
     predictions[i]: people JSON for image i.
     gts[i]: list of {"keypoints": (18, 3) internal-order or (17, 3)
-    COCO-order array-like, "area": float} for image i. 17-keypoint GT is
-    converted (neck synthesised from the shoulders).
+    COCO-order array-like, "area": float, and optionally "iscrowd"
+    (0/1), "num_keypoints" (int, defaults to the labelled count) and
+    "bbox" ([x, y, w, h])} for image i. 17-keypoint GT is converted
+    (neck synthesised from the shoulders).
+
+    Ignore semantics match pycocotools' keypoint `_prepare` exactly: a
+    GT with ``iscrowd=1`` or ``num_keypoints==0`` is an ignore region —
+    it never counts toward recall, detections matching it count neither
+    TP nor FP, crowd regions may absorb any number of detections, and
+    keypointless GT matches via the 2x-expanded-bbox OKS fallback (so a
+    "bbox" should accompany such annotations; COCO's always have one).
 
     Returns the standard COCO keypoints summary (pycocotools
     ``COCOeval.summarize`` line set): AP, AP50, AP75, AP_M, AP_L, AR,
@@ -204,17 +243,33 @@ def evaluate(
     for preds, gt_list in zip(predictions, gts):
         gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
         gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
+        gt_crowd = np.asarray(
+            [bool(g.get("iscrowd", 0)) for g in gt_list], bool
+        )
+        # COCOeval keypoint _prepare: ignore = iscrowd or num_keypoints==0
+        # (num_keypoints defaults to the labelled count, v < 2 internal)
+        gt_nkp = [
+            int(g["num_keypoints"]) if "num_keypoints" in g
+            else int((kp[:, 2] < 2).sum())
+            for g, kp in zip(gt_list, gt_kps)
+        ]
+        gt_base_ig = gt_crowd | np.asarray([n == 0 for n in gt_nkp], bool)
+        gt_bboxes = [g.get("bbox") for g in gt_list]
         det_kps, det_scores = people_to_array(preds)
         # OKS matrix + detection areas once per image (range-independent)
         order = np.argsort(-det_scores, kind="stable")[:max_dets]
         ious = np.zeros((len(order), len(gt_kps)))
         for r, di in enumerate(order):
             for gj in range(len(gt_kps)):
-                ious[r, gj] = oks(det_kps[di], gt_kps[gj], gt_areas[gj])
+                ious[r, gj] = oks(
+                    det_kps[di], gt_kps[gj], gt_areas[gj], bbox=gt_bboxes[gj]
+                )
         dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
         sc = det_scores[order]
         for name, arng in AREA_RNG.items():
-            tp, ig, npig = _eval_image(sc, ious, dt_areas, gt_areas, arng)
+            tp, ig, npig = _eval_image(sc, ious, dt_areas, gt_areas, arng,
+                                       gt_base_ig=gt_base_ig,
+                                       gt_crowd=gt_crowd)
             acc = per_rng[name]
             acc["scores"].extend(float(s) for s in sc)
             acc["tp"].extend(tp)
