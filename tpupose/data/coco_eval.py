@@ -207,6 +207,140 @@ def _accumulate(scores, tps, igs, total_gt):
     return aps, ars
 
 
+def image_stats(
+    predictions: list[list[dict]],
+    gts: list[list[dict]],
+    max_dets: int = MAX_DETS,
+) -> list[dict]:
+    """Per-image match statistics (COCOeval's evaluateImg stage).
+
+    Returns one dict per image: {range_name: (scores, tp, ig, npig)}.
+    Matching is per-image and independent across images, so these stats
+    can be computed ONCE and pooled over any image subset afterwards —
+    ``summarize_stats`` does the pooling, and ``bootstrap`` resamples
+    images over the same stats without re-matching."""
+    out = []
+    for preds, gt_list in zip(predictions, gts):
+        gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
+        gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
+        gt_crowd = np.asarray(
+            [bool(g.get("iscrowd", 0)) for g in gt_list], bool
+        )
+        # COCOeval keypoint _prepare: ignore = iscrowd or num_keypoints==0
+        # (num_keypoints defaults to the labelled count, v < 2 internal)
+        gt_nkp = [
+            int(g["num_keypoints"]) if "num_keypoints" in g
+            else int((kp[:, 2] < 2).sum())
+            for g, kp in zip(gt_list, gt_kps)
+        ]
+        gt_base_ig = gt_crowd | np.asarray([n == 0 for n in gt_nkp], bool)
+        gt_bboxes = [g.get("bbox") for g in gt_list]
+        det_kps, det_scores = people_to_array(preds)
+        # OKS matrix + detection areas once per image (range-independent)
+        order = np.argsort(-det_scores, kind="stable")[:max_dets]
+        ious = np.zeros((len(order), len(gt_kps)))
+        for r, di in enumerate(order):
+            for gj in range(len(gt_kps)):
+                ious[r, gj] = oks(
+                    det_kps[di], gt_kps[gj], gt_areas[gj], bbox=gt_bboxes[gj]
+                )
+        dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
+        sc = det_scores[order]
+        img = {}
+        for name, arng in AREA_RNG.items():
+            tp, ig, npig = _eval_image(sc, ious, dt_areas, gt_areas, arng,
+                                       gt_base_ig=gt_base_ig,
+                                       gt_crowd=gt_crowd)
+            img[name] = ([float(s) for s in sc], tp, ig, npig)
+        out.append(img)
+    return out
+
+
+def summarize_stats(
+    stats: list[dict], indices: "np.ndarray | None" = None
+) -> dict[str, float]:
+    """Pool per-image stats (optionally an index subset, with repeats —
+    the bootstrap resample case) into the COCO summary dict."""
+    if indices is None:
+        indices = range(len(stats))
+    per_rng: dict[str, dict] = {
+        name: {"scores": [], "tp": [], "ig": [], "ngt": 0}
+        for name in AREA_RNG
+    }
+    for i in indices:
+        img = stats[int(i)]
+        for name in AREA_RNG:
+            sc, tp, ig, npig = img[name]
+            acc = per_rng[name]
+            acc["scores"].extend(sc)
+            acc["tp"].extend(tp)
+            acc["ig"].extend(ig)
+            acc["ngt"] += npig
+
+    out: dict[str, float] = {}
+    for name in AREA_RNG:
+        acc = per_rng[name]
+        aps, ars = _accumulate(acc["scores"], acc["tp"], acc["ig"], acc["ngt"])
+        mean_ap = float(np.mean(aps))
+        mean_ar = float(np.mean(ars))
+        if name == "all":
+            out.update(
+                AP=mean_ap, AP50=aps[0], AP75=aps[5],
+                AR=mean_ar, AR50=ars[0], AR75=ars[5],
+            )
+        else:
+            suffix = "M" if name == "medium" else "L"
+            out[f"AP_{suffix}"] = mean_ap
+            out[f"AR_{suffix}"] = mean_ar
+    return out
+
+
+def bootstrap(
+    pred_sets: dict[str, list[list[dict]]],
+    gts: list[list[dict]],
+    n_boot: int = 1000,
+    seed: int = 0,
+    metric: str = "AP",
+    max_dets: int = MAX_DETS,
+) -> dict:
+    """Paired image-bootstrap of one COCO metric over named prediction
+    sets sharing the same GT (the statistical backing for accuracy
+    claims — SURVEY §6 / round-3 VERDICT weak #1).
+
+    One image resample (with replacement) per iteration is applied to
+    EVERY set, so per-name CIs and any between-set delta CI come from
+    the same resamples (paired — differences cancel shared image
+    variance). Per-image matching runs once per set; resampling only
+    re-pools, so 1000 iterations are cheap.
+
+    Returns {"value": {name: float}, "ci": {name: (lo, hi)},
+    "samples": {name: (n_boot,) array}} at the 2.5/97.5 percentiles.
+    Delta CI between sets a, b: np.percentile(samples[a] - samples[b],
+    [2.5, 97.5]).
+    """
+    stats = {
+        name: image_stats(preds, gts, max_dets)
+        for name, preds in pred_sets.items()
+    }
+    n_img = len(gts)
+    rng = np.random.default_rng(seed)
+    samples = {name: np.zeros(n_boot) for name in pred_sets}
+    for b in range(n_boot):
+        idx = rng.integers(0, n_img, n_img)
+        for name in pred_sets:
+            samples[name][b] = summarize_stats(stats[name], idx)[metric]
+    return {
+        "value": {
+            name: summarize_stats(stats[name])[metric] for name in pred_sets
+        },
+        "ci": {
+            name: tuple(np.percentile(samples[name], [2.5, 97.5]))
+            for name in pred_sets
+        },
+        "samples": samples,
+    }
+
+
 def evaluate(
     predictions: list[list[dict]],
     gts: list[list[dict]],
@@ -235,60 +369,4 @@ def evaluate(
     metrics follow its gt-ignore semantics. Ranges with no GT report
     -1.0, COCOeval's convention.
     """
-    per_rng: dict[str, dict] = {
-        name: {"scores": [], "tp": [], "ig": [], "ngt": 0}
-        for name in AREA_RNG
-    }
-
-    for preds, gt_list in zip(predictions, gts):
-        gt_kps = [_to_internal(g["keypoints"]) for g in gt_list]
-        gt_areas = [float(g.get("area", 1.0)) for g in gt_list]
-        gt_crowd = np.asarray(
-            [bool(g.get("iscrowd", 0)) for g in gt_list], bool
-        )
-        # COCOeval keypoint _prepare: ignore = iscrowd or num_keypoints==0
-        # (num_keypoints defaults to the labelled count, v < 2 internal)
-        gt_nkp = [
-            int(g["num_keypoints"]) if "num_keypoints" in g
-            else int((kp[:, 2] < 2).sum())
-            for g, kp in zip(gt_list, gt_kps)
-        ]
-        gt_base_ig = gt_crowd | np.asarray([n == 0 for n in gt_nkp], bool)
-        gt_bboxes = [g.get("bbox") for g in gt_list]
-        det_kps, det_scores = people_to_array(preds)
-        # OKS matrix + detection areas once per image (range-independent)
-        order = np.argsort(-det_scores, kind="stable")[:max_dets]
-        ious = np.zeros((len(order), len(gt_kps)))
-        for r, di in enumerate(order):
-            for gj in range(len(gt_kps)):
-                ious[r, gj] = oks(
-                    det_kps[di], gt_kps[gj], gt_areas[gj], bbox=gt_bboxes[gj]
-                )
-        dt_areas = np.asarray([detection_area(det_kps[di]) for di in order])
-        sc = det_scores[order]
-        for name, arng in AREA_RNG.items():
-            tp, ig, npig = _eval_image(sc, ious, dt_areas, gt_areas, arng,
-                                       gt_base_ig=gt_base_ig,
-                                       gt_crowd=gt_crowd)
-            acc = per_rng[name]
-            acc["scores"].extend(float(s) for s in sc)
-            acc["tp"].extend(tp)
-            acc["ig"].extend(ig)
-            acc["ngt"] += npig
-
-    out: dict[str, float] = {}
-    for name in AREA_RNG:
-        acc = per_rng[name]
-        aps, ars = _accumulate(acc["scores"], acc["tp"], acc["ig"], acc["ngt"])
-        mean_ap = float(np.mean(aps))
-        mean_ar = float(np.mean(ars))
-        if name == "all":
-            out.update(
-                AP=mean_ap, AP50=aps[0], AP75=aps[5],
-                AR=mean_ar, AR50=ars[0], AR75=ars[5],
-            )
-        else:
-            suffix = "M" if name == "medium" else "L"
-            out[f"AP_{suffix}"] = mean_ap
-            out[f"AR_{suffix}"] = mean_ar
-    return out
+    return summarize_stats(image_stats(predictions, gts, max_dets))
