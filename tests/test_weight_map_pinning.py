@@ -191,6 +191,77 @@ def test_export_weights_h5_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_full_size_random_weight_roundtrip(tmp_path):
+    """The converters at REAL scale (round-3 VERDICT next #9): a
+    flagship-sized Keras .h5 — every one of the ~52M params random —
+    through convert -> Orbax -> export -> reload, bit-identical at each
+    hop; the same arrays through the torch .pth path land identically."""
+    import h5py
+    import torch
+
+    from tpupose.models import OpenPose, weights as weights_lib
+    from tpupose.training import checkpoint as ckpt_lib
+
+    rng = np.random.default_rng(42)
+    layers = upstream_layers()
+    arrays = {
+        name: (rng.standard_normal(kshape).astype(np.float32),
+               rng.standard_normal(kshape[-1]).astype(np.float32))
+        for name, kshape in layers.items()
+    }
+    n_params = sum(k.size + b.size for k, b in arrays.values())
+    assert n_params > 50_000_000   # the real flagship, not a toy
+
+    src = str(tmp_path / "full.h5")
+    with h5py.File(src, "w") as f:
+        mw = f.create_group("model_weights")
+        for name, (k, b) in arrays.items():
+            g = mw.create_group(name).create_group(name)
+            g.create_dataset("kernel:0", data=k)
+            g.create_dataset("bias:0", data=b)
+
+    model = OpenPose(num_stages=6, dtype=jnp.float32)
+    params = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    )
+    loaded, missing = weights_lib.load_keras_h5(src, params)
+    assert missing == []
+    loaded = jax.device_get(loaded)
+
+    # -> Orbax -> restore
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_lib.save(ckpt, {"params": loaded, "step": np.zeros((), np.int32)})
+    restored = ckpt_lib.restore_params(ckpt)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # -> export .h5 -> reload: bit-identical to the ORIGINAL arrays
+    out = str(tmp_path / "reexported.h5")
+    weights_lib.save_keras_h5(out, restored)
+    with h5py.File(out, "r") as f:
+        for name, (k, b) in arrays.items():
+            np.testing.assert_array_equal(np.asarray(f[name][name]["kernel:0"]), k)
+            np.testing.assert_array_equal(np.asarray(f[name][name]["bias:0"]), b)
+
+    # torch .pth with the same arrays lands identically
+    sd = {}
+    for name, (k, b) in arrays.items():
+        prefix = "model0" if name in VGG or name in CPM else "model1_1"
+        sd[f"{prefix}.{name}.weight"] = torch.from_numpy(
+            k.transpose(3, 2, 0, 1).copy()
+        )
+        sd[f"{prefix}.{name}.bias"] = torch.from_numpy(b)
+    pth = str(tmp_path / "full.pth")
+    torch.save(sd, pth)
+    via_torch, missing_t = weights_lib.load_reference_weights(pth, params)
+    assert missing_t == []
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(jax.device_get(via_torch))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_export_weights_cli(keras_h5, tmp_path):
     """convert-weights -> export-weights round-trips the reference file:
     the re-exported .h5 carries the same per-layer fingerprints."""
