@@ -276,6 +276,46 @@ def test_microbatcher_batches_concurrent_submissions():
         mb.close()
 
 
+def test_serve_decode_groups_wiring():
+    """--decode-groups (the crowd-mixed serving knob) reaches the
+    estimator config through the serve CLI's common model args, and a
+    grouped-decode estimator serves through the micro-batcher."""
+    import argparse
+
+    import cv2
+
+    from tpupose.cli import _add_common_model_args, _config
+
+    ap = argparse.ArgumentParser()
+    _add_common_model_args(ap)
+    args = ap.parse_args(["--decode-groups", "2", "--scales", "0.5"])
+    cfg = _config(args)
+    assert cfg.inference.decode_groups == 2
+
+    import dataclasses
+
+    cfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(scale_search=(0.5,), max_peaks=16,
+                                  max_people=16, decode_groups=2),
+    )
+    est = PoseEstimator(cfg)
+    srv = serve(est, port=0, max_batch=2, batch_window_ms=5.0)
+    try:
+        img = np.random.default_rng(3).integers(0, 255, (96, 96, 3)).astype(
+            np.uint8
+        )
+        ok, enc = cv2.imencode(".png", img)
+        c = _conn(srv)
+        c.request("POST", "/pose", body=enc.tobytes())
+        r = c.getresponse()
+        assert r.status == 200
+        assert isinstance(json.loads(r.read())["people"], list)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 # --- overload behavior (round-3 VERDICT weak #3) ------------------------------
 
 
