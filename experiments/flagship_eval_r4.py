@@ -8,7 +8,7 @@ run closes both gaps and the 4-scale justification (VERDICT missing #4)
 in one protocol:
 
   * model: the FULL 6-stage flagship (ModelConfig defaults)
-  * held-out eval: 100 target-domain scenes + 60 source-domain scenes
+  * held-out eval: 120 target-domain scenes + 60 source-domain scenes
     (>= 200 GT persons total), generated with seeds disjoint from
     training
   * arms: pretrain on diverse source (A, 'varied') -> zero-shot on
@@ -47,7 +47,7 @@ BASE_STEPS = int(os.environ.get("FL_BASE_STEPS", 10000))
 ADAPT_STEPS = int(os.environ.get("FL_ADAPT_STEPS", 800))
 N_BOOT = int(os.environ.get("FL_N_BOOT", 1000))
 N_EVAL_A = int(os.environ.get("FL_N_EVAL_A", 60))
-N_EVAL_B = int(os.environ.get("FL_N_EVAL_B", 100))
+N_EVAL_B = int(os.environ.get("FL_N_EVAL_B", 120))
 N_STAGES = int(os.environ.get("FL_STAGES", 6))
 SCALES_4 = (0.5, 1.0, 1.5, 2.0)
 SCALES_1 = (1.0,)

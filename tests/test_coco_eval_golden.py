@@ -279,6 +279,46 @@ def test_bootstrap_paired_image_resampling():
     assert (delta >= 0).all() and delta.mean() > 0
 
 
+def test_people_to_coco_results_roundtrip():
+    """Detections export as pycocotools keypoint results (17-kp COCO
+    order), and re-importing through coco_joints_to_parts recovers every
+    non-neck keypoint position."""
+    from tpupose.data.coco_prep import (
+        COCO_KEYPOINTS,
+        coco_joints_to_parts,
+        people_to_coco_results,
+    )
+
+    gt = person_kps(0.0)
+    person = as_pred(gt, 0.87)
+    recs = people_to_coco_results([person], image_id=42)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["image_id"] == 42 and r["category_id"] == 1
+    assert r["score"] == 0.87
+    assert len(r["keypoints"]) == 51          # 17 triplets
+    # loadRes-style visibility: mark triplets present so the importer
+    # keeps them (the exporter writes per-kp confidence in slot 3)
+    trip = np.asarray(r["keypoints"]).reshape(17, 3)
+    trip[:, 2] = 2.0
+    back = coco_joints_to_parts(trip.reshape(-1).tolist())
+    # positions match for every COCO-mapped part (neck is synthesised)
+    from tpupose import topology
+    from tpupose.data.coco_prep import _COCO_TO_PART
+
+    for name in COCO_KEYPOINTS:
+        pi = topology.PART_INDEX[_COCO_TO_PART[name]]
+        want = person["keypoints"][_COCO_TO_PART[name]]
+        np.testing.assert_allclose(back[pi, :2], (want["x"], want["y"]))
+    # absent keypoints emit (0, 0, 0)
+    partial = {"keypoints": {"nose": {"x": 5.0, "y": 6.0, "score": 0.9}},
+               "score": 0.5, "num_parts": 1}
+    r2 = people_to_coco_results([partial], image_id=0)[0]
+    t2 = np.asarray(r2["keypoints"]).reshape(17, 3)
+    assert t2[0].tolist() == [5.0, 6.0, 0.9]   # nose is COCO slot 0
+    assert (t2[1:] == 0).all()
+
+
 def test_detection_area_includes_placeholder_slots():
     """loadRes parity: a detection's extent box spans ALL keypoint
     slots, so absent keypoints at their (0, 0) placeholder stretch it

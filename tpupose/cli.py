@@ -377,6 +377,18 @@ def cmd_eval(args) -> int:
         )
     if runner is not None:
         preds = runner.finish()
+    if getattr(args, "coco_results", None):
+        # pycocotools-format keypoint results: detections from this
+        # framework drop into any COCO-results tooling / COCOeval run
+        from tpupose.data.coco_prep import people_to_coco_results
+
+        records = []
+        for i, people in enumerate(preds):
+            records.extend(people_to_coco_results(people, image_id=i))
+        with open(args.coco_results, "w") as f:
+            json.dump(records, f)
+        print(f"COCO keypoint results written to {args.coco_results}",
+              file=sys.stderr)
     res = coco_eval.evaluate(preds, gts)
     print(json.dumps(res))
     return 0
@@ -501,6 +513,9 @@ def main(argv=None) -> int:
     )
     p.add_argument("--eval-batch", type=int, default=8,
                    help="batch size per bucket with --buckets")
+    p.add_argument("--coco-results", default=None, metavar="JSON",
+                   help="also write detections as pycocotools keypoint "
+                        "results (17-kp COCO order; loadRes-compatible)")
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_eval)
 

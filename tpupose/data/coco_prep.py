@@ -72,6 +72,40 @@ def coco_joints_to_parts(kps: list[float]) -> np.ndarray:
     return out
 
 
+def people_to_coco_results(
+    people: list[dict], image_id: int, category_id: int = 1
+) -> list[dict]:
+    """People JSON -> pycocotools keypoint *results* records.
+
+    The inverse of :func:`coco_joints_to_parts` on the detection side:
+    each person becomes ``{"image_id", "category_id", "keypoints":
+    [x1, y1, s1, ... 17 triplets in COCO order], "score"}`` — the exact
+    format ``COCO.loadRes`` ingests, so detections from this framework
+    drop straight into a pycocotools evaluation or any COCO-results
+    tooling. The synthesised neck has no COCO slot and is dropped;
+    absent keypoints emit (0, 0, 0) like the reference lineage's
+    exporters. Per-keypoint confidence rides the third slot (loadRes
+    ignores it; the ranking signal is "score")."""
+    out = []
+    for person in people:
+        kps: list[float] = []
+        for name in COCO_KEYPOINTS:
+            part = _COCO_TO_PART[name]
+            v = person["keypoints"].get(part)
+            if v is None:
+                kps += [0.0, 0.0, 0.0]
+            else:
+                kps += [float(v["x"]), float(v["y"]),
+                        float(v.get("score", 1.0))]
+        out.append({
+            "image_id": int(image_id),
+            "category_id": int(category_id),
+            "keypoints": kps,
+            "score": float(person["score"]),
+        })
+    return out
+
+
 def _segmentation_mask(seg, h: int, w: int) -> np.ndarray:
     """Any COCO segmentation (polygon list or RLE dict) -> binary mask."""
     if isinstance(seg, dict):
