@@ -47,9 +47,28 @@ def rss_mb() -> float:
     return -1.0
 
 
+def _grid_person(rng, cx, cy, size):
+    """Training-sized figure at an explicit position (synth.REL layout)."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import make_synthetic_dataset as synth
+
+    from tpupose import topology
+
+    jitter = rng.normal(0, 0.02, (18, 2))
+    joints = np.zeros((18, 3))
+    for name, (dx, dy) in synth.REL.items():
+        i = topology.PART_INDEX[name]
+        joints[i, 0] = cx + (dx + jitter[i, 0]) * size
+        joints[i, 1] = cy + (dy + jitter[i, 1]) * size * 0.5
+    return joints
+
+
 def render_scenes():
     """Request rotation: three shapes + one crowd scene, varied style
-    (the flagship checkpoint's training domain)."""
+    (the flagship checkpoint's training domain). The crowd is a spread
+    grid of TRAINING-SIZED figures so the trained model actually fires
+    on them (24 tiny overlapped figures decode to nothing — first
+    attempt's log)."""
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     import make_synthetic_dataset as synth
 
@@ -59,11 +78,19 @@ def render_scenes():
         (368, 368, 2, "sparse"),
         (480, 360, 3, "tall"),
         (256, 320, 1, "small"),
-        (368, 368, 24, "crowd"),
     ]:
         joints = [synth.make_person(rng, w, h)[0] for _ in range(n_people)]
         img = synth.render(rng, joints, w, h, style="varied")
         scenes.append((tag, img))
+    rows, cols, w, h = 3, 4, 368, 368
+    joints = [
+        _grid_person(rng,
+                     (c + 0.5 + rng.uniform(-0.08, 0.08)) * w / cols,
+                     (r + 0.55 + rng.uniform(-0.04, 0.04)) * h / rows,
+                     rng.uniform(62, 78))
+        for r in range(rows) for c in range(cols)
+    ]
+    scenes.append(("crowd", synth.render(rng, joints, w, h, style="varied")))
     return scenes
 
 
@@ -79,16 +106,31 @@ def encode(scenes):
 
 
 def soak(est, scenes, soak_s, n_clients=8):
-    from tpupose.buckets import DEFAULT_BUCKETS
+    from tpupose import buckets as _bk
     from tpupose.serve import serve
 
+    # one 368^2 canvas: every request shape resizes into it (the bucket
+    # ladder's whole point), so the compile set is the 4 power-of-two
+    # batch sizes — warmed DIRECTLY below, because on the tunneled
+    # remote-compile backend each program takes minutes to build and a
+    # 10 s request deadline would abandon every warm-up request (first
+    # soak attempt: 1140 sheds, 0 OKs, all compile)
+    buckets = ((368, 368),)
     srv = serve(est, port=0, max_batch=8, batch_window_ms=5.0,
-                buckets=DEFAULT_BUCKETS, max_queue=16,
-                request_timeout_s=10.0)
+                buckets=buckets, max_queue=16, request_timeout_s=10.0)
     host, port = srv.server_address[:2]
     bodies = encode(scenes)
 
-    # warm every bucket program before the clock starts
+    for n in (1, 2, 4, 8):      # the batcher's pow2 size ladder
+        t0 = time.perf_counter()
+        bh, bw, s = _bk.choose_bucket(368, 368, buckets)
+        canvas, vh, vw = _bk.to_bucket(scenes[0][1], bh, bw, s)
+        est.process_batch(
+            np.repeat(canvas[None], n, axis=0), scales=None,
+            valid_hw=np.tile(np.int32([[vh, vw]]), (n, 1)),
+        )
+        print(f"warm batch={n}: {time.perf_counter() - t0:.0f}s", flush=True)
+    # one HTTP round-trip per scene shape (all now hit warm programs)
     for tag, body in bodies:
         c = http.client.HTTPConnection(host, port, timeout=600)
         c.request("POST", "/pose", body=body)
@@ -151,6 +193,47 @@ def soak(est, scenes, soak_s, n_clients=8):
     for t in threads:
         t.join(5.0)
 
+    # overload burst: 4x the steady client count for 20 s against the
+    # same bounded queue — the shed path must engage (503 + Retry-After)
+    # and the server must return to health afterwards
+    stop = threading.Event()
+    burst_counts: dict[int, int] = {}
+    b_lock = threading.Lock()
+
+    def burst_client(ci):
+        i = ci
+        while not stop.is_set():
+            tag, body = bodies[i % len(bodies)]
+            i += 1
+            try:
+                c = http.client.HTTPConnection(host, port, timeout=30)
+                c.request("POST", "/pose", body=body)
+                r = c.getresponse()
+                r.read()
+                s = r.status
+                c.close()
+            except Exception:
+                s = -1
+            with b_lock:
+                burst_counts[s] = burst_counts.get(s, 0) + 1
+
+    burst = [threading.Thread(target=burst_client, args=(i,), daemon=True)
+             for i in range(4 * n_clients)]
+    for t in burst:
+        t.start()
+    time.sleep(20.0)
+    stop.set()
+    for t in burst:
+        t.join(5.0)
+    print("overload burst (%d clients, 20s):" % (4 * n_clients),
+          json.dumps(burst_counts), flush=True)
+    # post-burst health: a plain request succeeds again
+    c = http.client.HTTPConnection(host, port, timeout=60)
+    c.request("POST", "/pose", body=bodies[0][1])
+    r = c.getresponse()
+    r.read()
+    print("post-burst request:", r.status, flush=True)
+
     c = http.client.HTTPConnection(host, port, timeout=600)
     c.request("GET", "/metrics")
     metrics = json.loads(c.getresponse().read())
@@ -167,6 +250,8 @@ def soak(est, scenes, soak_s, n_clients=8):
         "p99_last_ms": p99s[-1] if p99s else None,
         "p99_max_ms": max(p99s) if p99s else None,
         "rss_first_mb": rsss[0], "rss_last_mb": rsss[-1],
+        "burst_statuses": burst_counts,
+        "post_burst_status": r.status,
         "shed_total": metrics.get("shed", 0),
         "timeouts_total": metrics.get("timeouts", 0),
         "errors_total": metrics.get("errors", 0),
@@ -223,6 +308,10 @@ def main():
     ap.add_argument("--soak-s", type=float, default=150.0)
     ap.add_argument("--skip-soak", action="store_true")
     ap.add_argument("--skip-grouped", action="store_true")
+    ap.add_argument("--fake-estimator", action="store_true",
+                    help="serve a no-device stub: isolates the HTTP/"
+                         "batcher stack's memory behavior from the "
+                         "accelerator client's")
     args = ap.parse_args()
 
     import jax
@@ -240,8 +329,18 @@ def main():
     scenes = render_scenes()
     results = {}
     if not args.skip_soak:
-        # single-scale serving estimator (the realtime deployment shape)
-        est = PoseEstimator(single_scale(DEFAULT), params=params)
+        if args.fake_estimator:
+            class _Fake:
+                pretrained = False
+
+                def process_batch(self, imgs, scales=None, valid_hw=None):
+                    time.sleep(0.04 * len(imgs) / 8)   # ~device-rate stub
+                    return [[] for _ in range(len(imgs))]
+
+            est = _Fake()
+        else:
+            # single-scale serving estimator (realtime deployment shape)
+            est = PoseEstimator(single_scale(DEFAULT), params=params)
         results["soak"] = soak(est, scenes, args.soak_s)
     if not args.skip_grouped:
         results["grouped"] = grouped_bench(params, scenes)
