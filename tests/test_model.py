@@ -112,3 +112,64 @@ def test_maybe_load_pretrained_absent(tiny_model):
     _, params = tiny_model
     same, loaded = W.maybe_load_pretrained(params, "/nonexistent/w.h5")
     assert not loaded and same is params
+
+
+class TestFoldedConv1:
+    """fold_conv1 computes IDENTICAL math on an MXU-shaped layout
+    (FoldedConv3x3: space-to-depth raises conv1_1's contraction depth
+    27 -> 108; measured on-chip in experiments/fold_conv1_r4.py)."""
+
+    def _pair(self, num_stages=1):
+        m0 = OpenPose(num_stages=num_stages, dtype=jnp.float32)
+        m1 = OpenPose(num_stages=num_stages, dtype=jnp.float32,
+                      fold_conv1=True)
+        return m0, m1
+
+    def test_param_tree_identical(self):
+        m0, m1 = self._pair()
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        s0 = jax.eval_shape(m0.init, jax.random.PRNGKey(0), x)["params"]
+        s1 = jax.eval_shape(m1.init, jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(s0) == jax.tree_util.tree_structure(s1)
+        assert all(
+            a.shape == b.shape and a.dtype == b.dtype
+            for a, b in zip(jax.tree_util.tree_leaves(s0),
+                            jax.tree_util.tree_leaves(s1))
+        )
+
+    def test_forward_equivalent_same_params(self):
+        m0, m1 = self._pair()
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 0.3, (2, 48, 64, 3)).astype(np.float32))
+        params = m0.init(jax.random.PRNGKey(0), x)["params"]
+        for (p0, h0), (p1, h1) in zip(m0.apply({"params": params}, x),
+                                      m1.apply({"params": params}, x)):
+            np.testing.assert_allclose(p0, p1, atol=1e-6)
+            np.testing.assert_allclose(h0, h1, atol=1e-6)
+
+    def test_gradient_equivalent_same_params(self):
+        m0, m1 = self._pair()
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(0, 0.3, (2, 32, 32, 3)).astype(np.float32))
+        params = m0.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(m, p):
+            paf, heat = m.apply({"params": p}, x)[-1]
+            return (paf ** 2).mean() + (heat ** 2).mean()
+
+        g0 = jax.grad(lambda p: loss(m0, p))(params)
+        g1 = jax.grad(lambda p: loss(m1, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            scale = float(jnp.abs(a).max()) + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-6)
+
+    def test_odd_geometry_falls_back_bit_exact(self):
+        m0, m1 = self._pair()
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 0.3, (1, 31, 33, 3)).astype(np.float32))
+        params = m0.init(jax.random.PRNGKey(0), x)["params"]
+        p0, h0 = m0.apply({"params": params}, x)[-1]
+        p1, h1 = m1.apply({"params": params}, x)[-1]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))

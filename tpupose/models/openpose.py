@@ -21,20 +21,111 @@ configured channel order (reference contract, SURVEY.md C5).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpupose import topology
 
 Dtype = Any
 
 
+@lru_cache(maxsize=1)
+def _fold_map() -> np.ndarray:
+    """One-hot tap map for computing a stride-1 3x3 conv at half resolution.
+
+    ``M[di, dj, alpha, beta, a, b, dh, dw] = 1`` places original kernel tap
+    ``(dh, dw)`` at folded-kernel position ``(di, dj)``, folded input phase
+    ``(alpha, beta)``, output phase ``(a, b)``: the output pixel at absolute
+    row ``2i + a`` reads absolute row ``2(i - 1 + di) + alpha``, so
+    ``dh = 2*di - 1 + alpha - a`` (and likewise for the width axis). Taps
+    that fall outside the 3x3 kernel stay zero — exactly the positions
+    where folded SAME padding would otherwise read absolute rows the
+    original SAME padding never touches, so edge behavior is preserved.
+    """
+    M = np.zeros((3, 3, 2, 2, 2, 2, 3, 3), np.float32)
+    for di in range(3):
+        for dj in range(3):
+            for al in range(2):
+                for be in range(2):
+                    for a in range(2):
+                        for b in range(2):
+                            dh = 2 * di - 1 + al - a
+                            dw = 2 * dj - 1 + be - b
+                            if 0 <= dh < 3 and 0 <= dw < 3:
+                                M[di, dj, al, be, a, b, dh, dw] = 1.0
+    return M
+
+
+class FoldedConv3x3(nn.Module):
+    """A stride-1 SAME 3x3 conv computed at half resolution (space-to-depth).
+
+    Built for conv1_1: a 3-input-channel conv contracts only 27 values per
+    output pixel — at most 27/128 of the MXU's systolic contraction depth,
+    measured at ~1.3% MFU (BASELINE.md round-3 ceiling analysis). Folding
+    2x2 pixels into channels quadruples the contraction depth (27 -> 108)
+    and computes the four output phases as extra output channels at a
+    quarter of the spatial positions; depth-to-space restores the full-res
+    activation. The result is the SAME 27-tap dot product per output pixel,
+    just evaluated on an MXU-shaped layout (nominal FLOPs rise 4x because
+    the scattered kernel is 75% structural zeros).
+
+    MEASURED NEGATIVE (round 4, experiments/fold_conv1_r4.py on-chip):
+    0.94x on the 4-scale batch-8 forward set (112.6 -> 120.2 ms), 0.93x
+    on the single-scale batch-16 forward, 0.93x on the full train step —
+    XLA's own lowering of the 3-channel conv already beats the 4x-FLOPs
+    fold at these shapes. Kept opt-in (default off) with equivalence
+    pinned in tests/test_model.py::TestFoldedConv1 so the measurement is
+    reproducible; do not enable without new evidence.
+
+    Parameters keep nn.Conv's exact tree ({kernel: (3,3,C,F), bias: (F,)})
+    under this module's name, so checkpoints, reference weight ingest and
+    export, LR grouping, and gradients (the fold is a fixed linear
+    re-indexing inside apply) are all unchanged. Odd input geometry falls
+    back to the plain conv with the same parameters.
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features),
+            jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        batch, h, w, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if h % 2 or w % 2:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=dn)
+            return y + bias.astype(self.dtype)
+        xf = (x.reshape(batch, h // 2, 2, w // 2, 2, cin)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(batch, h // 2, w // 2, 4 * cin))
+        kf = jnp.einsum("ijuvabhw,hwco->ijuvcabo", _fold_map(), kernel)
+        kf = kf.reshape(3, 3, 4 * cin, 4 * self.features)
+        y = jax.lax.conv_general_dilated(
+            xf.astype(self.dtype), kf.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=dn)
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        return (y.reshape(batch, h // 2, w // 2, 2, 2, self.features)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(batch, h, w, self.features))
+
+
 class VGGBackbone(nn.Module):
     """VGG19 conv1_1..conv4_2 + conv4_3_CPM/conv4_4_CPM -> stride-8 features."""
 
     dtype: Dtype = jnp.bfloat16
+    fold_conv1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -46,7 +137,10 @@ class VGGBackbone(nn.Module):
             return nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # Block 1-2
-        x = conv(x, 64, "conv1_1")
+        if self.fold_conv1:
+            x = nn.relu(FoldedConv3x3(64, dtype=self.dtype, name="conv1_1")(x))
+        else:
+            x = conv(x, 64, "conv1_1")
         x = conv(x, 64, "conv1_2")
         x = pool(x)
         x = conv(x, 128, "conv2_1")
@@ -131,6 +225,9 @@ class OpenPose(nn.Module):
     heat_channels: int = topology.NUM_HEAT_CHANNELS
     dtype: Dtype = jnp.bfloat16
     head_dtype: Dtype = jnp.float32
+    # compute conv1_1 at half resolution via space-to-depth (identical
+    # math and params — see FoldedConv3x3)
+    fold_conv1: bool = False
     # rematerialise each stage branch in the backward pass: trades ~1/3
     # of the forward FLOPs for not keeping the 5x (46,46,128) 7x7-conv
     # activations of every stage alive until the backward — the memory
@@ -141,7 +238,8 @@ class OpenPose(nn.Module):
     def __call__(self, image: jnp.ndarray) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
         s1 = nn.remat(Stage1Branch) if self.remat else Stage1Branch
         st = nn.remat(StageTBranch) if self.remat else StageTBranch
-        feat = VGGBackbone(dtype=self.dtype, name="vgg")(image)
+        feat = VGGBackbone(dtype=self.dtype, fold_conv1=self.fold_conv1,
+                           name="vgg")(image)
         feat = CPMFeature(dtype=self.dtype, name="cpm")(feat)
 
         outputs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
