@@ -32,6 +32,7 @@
 // stream that inflates cleanly to wrong bytes, is now caught instead of
 // feeding plausible wrong pixels to training.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -110,7 +111,17 @@ int read_blob(const TpfFile* f, uint64_t off, uint64_t csize,
     return TPF_ECODEC;
   }
   if (expect_crc != 0) {  // 0 = unchecked (pre-crc files)
-    uint32_t c = (uint32_t)crc32(0L, out, rawsize);
+    // zlib crc32 takes a 32-bit length; chunk so payloads >= 4 GiB
+    // checksum all bytes (matching Python zlib.crc32, which is 64-bit
+    // clean) instead of rawsize mod 2^32.
+    uLong acc = crc32(0L, Z_NULL, 0);
+    uint64_t done = 0;
+    while (done < rawsize) {
+      uInt n = (uInt)std::min<uint64_t>(rawsize - done, 0x40000000u);
+      acc = crc32(acc, out + done, n);
+      done += n;
+    }
+    uint32_t c = (uint32_t)acc;
     if (c == 0) c = 1;  // writer maps 0 -> 1 to keep 0 as the sentinel
     if (c != expect_crc) return TPF_ECRC;
   }

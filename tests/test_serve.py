@@ -22,7 +22,9 @@ def server():
         inference=InferenceConfig(scale_search=(0.5,), max_peaks=16, max_people=16),
     )
     est = PoseEstimator(cfg)
-    srv = serve(est, port=0)  # ephemeral port
+    # Generous deadline: first-compile latency on a loaded CPU host is not
+    # overload, and must not trip the per-request 504.
+    srv = serve(est, port=0, request_timeout_s=600.0)  # ephemeral port
     yield srv
     srv.shutdown()
 
@@ -95,7 +97,7 @@ def test_bucketed_draw_overlay_in_original_frame():
     )
     est = PoseEstimator(cfg)
     srv = serve(est, port=0, max_batch=2, batch_window_ms=5.0,
-                buckets=((64, 64),))
+                buckets=((64, 64),), request_timeout_s=600.0)
     try:
         img = np.random.default_rng(8).integers(0, 255, (100, 80, 3)).astype(
             np.uint8
@@ -164,7 +166,8 @@ def test_metrics_batch_engagement():
                                   max_people=16),
     )
     est = PoseEstimator(cfg)
-    srv = serve(est, port=0, max_batch=4, batch_window_ms=50.0)
+    srv = serve(est, port=0, max_batch=4, batch_window_ms=50.0,
+                request_timeout_s=600.0)
     try:
         img = np.random.default_rng(6).integers(0, 255, (96, 96, 3)).astype(
             np.uint8
@@ -204,7 +207,8 @@ def test_microbatch_server_correctness():
                                   max_people=16),
     )
     est = PoseEstimator(cfg)
-    srv = serve(est, port=0, max_batch=4, batch_window_ms=30.0)
+    srv = serve(est, port=0, max_batch=4, batch_window_ms=30.0,
+                request_timeout_s=600.0)
     try:
         rng = np.random.default_rng(1)
         imgs = [rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
@@ -300,7 +304,8 @@ def test_serve_decode_groups_wiring():
                                   max_people=16, decode_groups=2),
     )
     est = PoseEstimator(cfg)
-    srv = serve(est, port=0, max_batch=2, batch_window_ms=5.0)
+    srv = serve(est, port=0, max_batch=2, batch_window_ms=5.0,
+                request_timeout_s=600.0)
     try:
         img = np.random.default_rng(3).integers(0, 255, (96, 96, 3)).astype(
             np.uint8
@@ -507,4 +512,49 @@ def test_microbatcher_survives_malformed_image():
         people = mb.submit(np.zeros((16, 16, 3), np.uint8))
         assert people == [{"ok": 1.0}]
     finally:
+        mb.close()
+
+
+def test_abandoned_requests_release_queue_capacity():
+    """A timed-out request must leave the bounded queue immediately —
+    otherwise dead entries hold capacity and force spurious 503s until
+    the worker drains them (round-4 review finding)."""
+    from tpupose.serve import MicroBatcher, Overloaded, RequestTimeout
+
+    release = threading.Event()
+
+    class Stalling:
+        def process_batch(self, imgs, scales=None, valid_hw=None):
+            release.wait(10.0)  # hold the worker "on device"
+            return [[] for _ in range(len(imgs))]
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    mb = MicroBatcher(Stalling(), max_batch=1, window_ms=0.0, max_queue=2)
+    try:
+        # Occupy the worker with one in-flight request.
+        t = threading.Thread(
+            target=lambda: mb.submit(img, timeout_s=10.0), daemon=True
+        )
+        t.start()
+        deadline = time.time() + 5.0
+        while mb.depth > 0 and time.time() < deadline:
+            time.sleep(0.01)  # wait until the worker popped it (in flight)
+
+        # Fill the bounded queue with requests that will miss their deadline.
+        with pytest.raises(RequestTimeout):
+            mb.submit(img, timeout_s=0.05)
+        with pytest.raises(RequestTimeout):
+            mb.submit(img, timeout_s=0.05)
+        # Both abandoned entries must be gone: the queue has capacity again,
+        # so this submit must NOT shed with Overloaded (it times out instead,
+        # since the worker is still stalled — that is the correct outcome).
+        assert mb.depth == 0
+        try:
+            mb.submit(img, timeout_s=0.05)
+        except Overloaded:
+            pytest.fail("abandoned entries still hold queue capacity")
+        except RequestTimeout:
+            pass
+    finally:
+        release.set()
         mb.close()

@@ -116,9 +116,15 @@ class MicroBatcher:
             self._cv.notify()
         if not slot["done"].wait(timeout_s):
             with self._cv:
-                # still queued -> the worker drops it without running it;
-                # already in flight -> the result is discarded on arrival
+                # still queued -> remove it so it stops holding bounded-queue
+                # capacity (otherwise dead entries force spurious 503s until
+                # the worker drains them); already in flight -> the result is
+                # discarded on arrival
                 slot["abandoned"] = True
+                for i, (_, s) in enumerate(self._queue):
+                    if s is slot:
+                        del self._queue[i]
+                        break
             raise RequestTimeout(
                 f"request exceeded its {timeout_s:.1f}s deadline"
             )
