@@ -222,6 +222,103 @@ def test_walkthrough_example_runs_against_current_decode(tmp_path):
     assert r.stdout.count("18 parts") == 2
 
 
+def _eval_dataset(path, image_ids, with_crowd):
+    """3 records (two from the same image) with one GT person each;
+    optionally a crowd ignore region at [0, 0, 50, 50]."""
+    from tpupose.data import hdf5 as hdf5_io
+
+    img = np.zeros((200, 200, 3), np.uint8)
+    mask = np.full((200, 200), 255, np.uint8)
+    joints = np.zeros((1, 18, 3), np.float64)  # v=0 internal: visible
+    joints[0, :, 0] = np.linspace(100, 150, 18)
+    joints[0, :, 1] = np.linspace(100, 150, 18)
+    with hdf5_io.SampleWriter(path) as w:
+        for iid in image_ids:
+            w.add(
+                img, mask, joints, (125.0, 125.0), 0.3,
+                areas=np.asarray([2500.0]),
+                image_id=iid,
+                ignore_regions=(
+                    [[0.0, 0.0, 50.0, 50.0, 2500.0]] if with_crowd else None
+                ),
+            )
+    return joints
+
+
+def _run_cmd_eval(monkeypatch, capsys, dataset, results_path, joints):
+    """cmd_eval with a stubbed estimator: a high-score detection inside
+    the crowd box + an exact-match detection on the GT person."""
+    import argparse
+
+    from tpupose import cli as cli_mod
+    from tpupose import topology
+
+    def person(xs, ys, score):
+        return {
+            "keypoints": {
+                topology.PARTS[i]: {"x": float(x), "y": float(y),
+                                    "score": 0.9}
+                for i, (x, y) in enumerate(zip(xs, ys))
+            },
+            "score": score,
+            "num_parts": 18,
+        }
+
+    people = [
+        person(np.linspace(5, 45, 18), np.linspace(5, 45, 18), 10.0),
+        person(joints[0, :, 0], joints[0, :, 1], 5.0),
+    ]
+
+    class Stub:
+        def process(self, image):
+            return {"people": people}
+
+    monkeypatch.setattr(cli_mod, "_estimator", lambda args, cfg=None: Stub())
+    args = argparse.Namespace(
+        dataset=dataset, max_images=0, buckets=None, eval_batch=8,
+        coco_results=results_path,
+    )
+    assert cli_mod.cmd_eval(args) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_eval_crowd_ignore_reached_from_cli(tmp_path, monkeypatch, capsys):
+    """Round-4 review finding: the crowd/ignore eval semantics must be
+    reachable from `cli eval`, i.e. ignore regions stored on the records
+    flow into coco_eval so a detection on a crowd is absorbed instead of
+    counted as a false positive."""
+    crowd_h5 = str(tmp_path / "crowd.h5")
+    plain_h5 = str(tmp_path / "plain.h5")
+    j = _eval_dataset(crowd_h5, [7, 7, 9], with_crowd=True)
+    _eval_dataset(plain_h5, [7, 7, 9], with_crowd=False)
+
+    res = _run_cmd_eval(monkeypatch, capsys, crowd_h5,
+                        str(tmp_path / "r1.json"), j)
+    # the higher-scored crowd detection matches-to-ignore -> perfect AP
+    assert res["AP"] == pytest.approx(1.0)
+    res = _run_cmd_eval(monkeypatch, capsys, plain_h5,
+                        str(tmp_path / "r2.json"), j)
+    # without the region it is a rank-1 false positive -> AP collapses
+    assert res["AP"] == pytest.approx(0.5)
+
+
+def test_eval_coco_results_use_real_image_ids(tmp_path, monkeypatch, capsys):
+    """Round-4 review finding: --coco-results must export the ORIGINAL
+    COCO image ids carried by the records (deduplicating per-main-person
+    repeats of the same image) so the file loads against the real
+    annotation set via COCO.loadRes."""
+    h5 = str(tmp_path / "d.h5")
+    j = _eval_dataset(h5, [7, 7, 9], with_crowd=True)
+    out = str(tmp_path / "results.json")
+    _run_cmd_eval(monkeypatch, capsys, h5, out, j)
+    with open(out) as f:
+        records = json.load(f)
+    # 2 detections per unique image, record 2 (same image 7) deduplicated
+    assert sorted({r["image_id"] for r in records}) == [7, 9]
+    assert len(records) == 4
+    assert all(len(r["keypoints"]) == 51 for r in records)
+
+
 def test_config_flag_error_paths(tmp_path):
     """ADVICE r3: missing/malformed --config exits cleanly with code 2."""
     r = run_cli(["demo-image", "--image", "x.png",

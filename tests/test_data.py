@@ -219,6 +219,12 @@ def test_coco_prep_end_to_end(tmp_path, coco_dir):
     lsho = r1["joints"][0, topology.PART_INDEX["Lsho"]]
     rsho = r1["joints"][0, topology.PART_INDEX["Rsho"]]
     np.testing.assert_allclose(neck[:2], (lsho[:2] + rsho[:2]) / 2)
+    # eval metadata: original COCO image ids and COCOeval ignore regions
+    # (iscrowd / keypointless GT as [x, y, w, h, area]) ride the records
+    assert r1["image_id"] == 1
+    assert r2["image_id"] == 2
+    assert r1.get("ignore_regions", []) == []  # none on image 1 -> not stored
+    assert r2["ignore_regions"] == [[0.0, 0.0, 100.0, 100.0, 9000.0]]
 
 
 def test_coco_prep_to_tpr_matches_h5(tmp_path, coco_dir):
@@ -237,6 +243,8 @@ def test_coco_prep_to_tpr_matches_h5(tmp_path, coco_dir):
         np.testing.assert_allclose(a["joints"], b["joints"], atol=1e-6)
         np.testing.assert_allclose(a["center"], b["center"], atol=1e-6)
         np.testing.assert_allclose(a["areas"], b["areas"], atol=1e-4)
+        assert a["image_id"] == b["image_id"]
+        assert a.get("ignore_regions") == b.get("ignore_regions")
 
 
 def test_coco_joints_conversion():

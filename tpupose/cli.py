@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -66,8 +67,14 @@ def _config(args) -> "PoseConfig":
             raise SystemExit(2)
         cfg = res.config
         # the reference config names its own weights (caffemodel=...);
-        # surface it as the default --weights if the file exists
-        args._config_weights_hint = res.weights_hint
+        # surface it as the default --weights if the file exists. The
+        # reference path is relative to its own repo root, so resolve a
+        # relative hint against the config file's directory, not the CWD.
+        hint = res.weights_hint
+        if hint and not os.path.isabs(hint):
+            hint = os.path.normpath(os.path.join(
+                os.path.dirname(os.path.abspath(args.config)), hint))
+        args._config_weights_hint = hint
     if getattr(args, "scales", None):
         cfg = with_scales(tuple(float(s) for s in args.scales.split(",")), cfg)
     if getattr(args, "boxsize", None):
@@ -109,12 +116,14 @@ def _estimator(args, cfg=None) -> "PoseEstimator":
         # its own caffemodel — use it when the file actually exists
         hint = getattr(args, "_config_weights_hint", None)
         if hint:
-            import os
-
             if os.path.exists(hint):
                 print(f"using weights from reference config: {hint}",
                       file=sys.stderr)
                 weights = hint
+            else:
+                print(f"warning: reference config names weights at {hint} "
+                      "but the file does not exist; continuing without",
+                      file=sys.stderr)
     return PoseEstimator(cfg, weights_path=weights)
 
 
@@ -358,7 +367,7 @@ def cmd_eval(args) -> int:
         runner = BucketedRunner(
             est, resolve_buckets(args.buckets), batch_size=args.eval_batch
         )
-    preds, gts = [], []
+    preds, gts, image_ids = [], [], []
     for i, rec in enumerate(data_pkg.read_samples(args.dataset)):
         if args.max_images and i >= args.max_images:
             break
@@ -368,23 +377,51 @@ def cmd_eval(args) -> int:
             preds.append(est.process(rec["image"])["people"])
         # real GT areas ride the records (bbox-estimated by the reader
         # for pre-round-2 files without them) — OKS is exponential in area
-        gts.append(
-            [
-                {"keypoints": j, "area": float(a)}
-                for j, a in zip(rec["joints"], rec["areas"])
-                if (j[:, 2] < 2).any()
-            ]
-        )
+        gt = [
+            {"keypoints": j, "area": float(a)}
+            for j, a in zip(rec["joints"], rec["areas"])
+            if (j[:, 2] < 2).any()
+        ]
+        # COCOeval ignore regions (iscrowd / keypointless GT) ride
+        # round-4 records as [x, y, w, h, area]: detections falling on
+        # them match-to-ignore instead of counting as false positives
+        # (data/coco_eval.py crowd semantics, SURVEY §4 eval contract)
+        for reg in rec.get("ignore_regions", ()):
+            x, y, w, h, area = (float(v) for v in reg)
+            gt.append({
+                "keypoints": np.full((18, 3), 2.0),  # all absent
+                "area": area if area > 0 else w * h,
+                "iscrowd": 1,
+                "num_keypoints": 0,
+                "bbox": [x, y, w, h],
+            })
+        gts.append(gt)
+        image_ids.append(rec.get("image_id"))
     if runner is not None:
         preds = runner.finish()
     if getattr(args, "coco_results", None):
         # pycocotools-format keypoint results: detections from this
-        # framework drop into any COCO-results tooling / COCOeval run
+        # framework drop into any COCO-results tooling / COCOeval run.
+        # Round-4 datasets carry the original COCO image id per record,
+        # so the export aligns with the real annotation file; records
+        # are per main person, so repeats of the same image (identical
+        # detections) are deduplicated. Older files without ids fall
+        # back to the record index — only self-consistent GT applies.
         from tpupose.data.coco_prep import people_to_coco_results
 
-        records = []
+        records, seen = [], set()
+        have_ids = all(v is not None for v in image_ids)
+        if not have_ids:
+            print("warning: dataset records carry no COCO image_id; "
+                  "exporting sequential ids (usable only against GT "
+                  "indexed the same way, not the original COCO "
+                  "annotation file)", file=sys.stderr)
         for i, people in enumerate(preds):
-            records.extend(people_to_coco_results(people, image_id=i))
+            img_id = image_ids[i] if have_ids else i
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            records.extend(people_to_coco_results(people, image_id=img_id))
         with open(args.coco_results, "w") as f:
             json.dump(records, f)
         print(f"COCO keypoint results written to {args.coco_results}",
@@ -515,7 +552,10 @@ def main(argv=None) -> int:
                    help="batch size per bucket with --buckets")
     p.add_argument("--coco-results", default=None, metavar="JSON",
                    help="also write detections as pycocotools keypoint "
-                        "results (17-kp COCO order; loadRes-compatible)")
+                        "results (17-kp COCO order; loadRes-compatible "
+                        "against the original annotation file when the "
+                        "dataset carries COCO image ids — round-4 packs "
+                        "do; older files export sequential ids)")
     _add_common_model_args(p)
     p.set_defaults(fn=cmd_eval)
 

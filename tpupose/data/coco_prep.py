@@ -165,6 +165,17 @@ def iter_records(
         # real GT segmentation areas, row-aligned with all_joints — OKS
         # evaluation is exponential in area (round-1 VERDICT weak #5)
         all_areas = np.asarray([a.get("area", 0.0) for a in kept], np.float64)
+        # COCOeval ignore regions (iscrowd=1 or num_keypoints==0): kept
+        # OUT of the joint/area rows (they never rasterize GT) but carried
+        # on the record as [x, y, w, h, area] so evaluation can reproduce
+        # pycocotools' match-to-ignore semantics (data/coco_eval.py) —
+        # without them, detections on crowds count as false positives.
+        ignore_regions = [
+            [float(v) for v in a["bbox"]] + [float(a.get("area", 0.0))]
+            for a in anns
+            if (a.get("iscrowd", 0) or a.get("num_keypoints", 0) == 0)
+            and a.get("bbox") is not None
+        ]
 
         for a in anns:
             if a.get("iscrowd", 0):
@@ -181,6 +192,10 @@ def iter_records(
                 "center": (x + bw / 2.0, y + bh / 2.0),
                 "scale_provided": bh / float(boxsize),
                 "areas": all_areas,
+                # original COCO image id: results exported from an eval
+                # over these records align with the real annotation file
+                "image_id": int(image_id),
+                "ignore_regions": ignore_regions,
             }
 
 
@@ -213,6 +228,8 @@ def pack(
             w.add(
                 rec["image"], rec["mask"], rec["joints"],
                 rec["center"], rec["scale_provided"], areas=rec["areas"],
+                image_id=rec.get("image_id"),
+                ignore_regions=rec.get("ignore_regions"),
             )
             n += 1
     return n

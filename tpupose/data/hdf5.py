@@ -69,11 +69,19 @@ class SampleWriter:
         center: tuple[float, float],
         scale_provided: float,
         areas: np.ndarray | None = None,
+        image_id: int | None = None,
+        ignore_regions: list | None = None,
     ) -> None:
         """``areas``: per-person GT segmentation areas aligned with the
         leading axis of ``joints`` — OKS evaluation is exponential in
         area, so real values (COCO ``ann["area"]``) must ride the record
-        (round-1 VERDICT weak #5)."""
+        (round-1 VERDICT weak #5).
+
+        ``image_id``: original COCO image id, so detections evaluated
+        over this dataset export as results JSON aligned with the real
+        annotation file. ``ignore_regions``: COCOeval ignore GT
+        (iscrowd=1 / num_keypoints==0) as [x, y, w, h, area] rows —
+        evaluation treats them as match-to-ignore (data/coco_eval.py)."""
         g = self._group.create_group(f"{self._n:07d}")
         g.create_dataset("image", data=np.asarray(image, np.uint8),
                          **self._comp)
@@ -86,6 +94,12 @@ class SampleWriter:
         }
         if areas is not None:
             meta["areas"] = np.asarray(areas, np.float64).tolist()
+        if image_id is not None:
+            meta["image_id"] = int(image_id)
+        if ignore_regions:
+            meta["ignore_regions"] = [
+                [float(v) for v in r] for r in ignore_regions
+            ]
         g.attrs["meta"] = json.dumps(meta)
         self._n += 1
 
@@ -140,7 +154,7 @@ def parse_record(node) -> dict:
         areas = np.asarray(meta["areas"], np.float32)
     else:
         areas = estimate_areas(joints)
-    return {
+    out = {
         "image": np.asarray(node["image"], np.uint8),
         "mask": np.asarray(node["mask"], np.uint8),
         "joints": joints,
@@ -148,6 +162,14 @@ def parse_record(node) -> dict:
         "scale_provided": np.float32(meta["scale_provided"]),
         "areas": areas,
     }
+    # eval-side metadata (round-2 files onward); training pipelines
+    # select their keys explicitly, so these ride along harmlessly
+    if "image_id" in meta:
+        out["image_id"] = int(meta["image_id"])
+    if "ignore_regions" in meta:
+        out["ignore_regions"] = [list(map(float, r))
+                                 for r in meta["ignore_regions"]]
+    return out
 
 
 def _coerce_joints(raw: np.ndarray) -> np.ndarray:

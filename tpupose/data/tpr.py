@@ -424,12 +424,21 @@ class TprReader:
 
 
 def _meta_from_sample(sample: dict) -> dict:
-    return {
+    meta = {
         "center": np.asarray(sample["center"], np.float64).tolist(),
         "scale_provided": float(sample["scale_provided"]),
         "joints": np.asarray(sample["joints"], np.float64).tolist(),
         "areas": np.asarray(sample["areas"], np.float64).tolist(),
     }
+    # eval-side metadata (see hdf5.SampleWriter.add): the original COCO
+    # image id and COCOeval ignore regions ride the JSON blob unchanged
+    if sample.get("image_id") is not None:
+        meta["image_id"] = int(sample["image_id"])
+    if sample.get("ignore_regions"):
+        meta["ignore_regions"] = [
+            [float(v) for v in r] for r in sample["ignore_regions"]
+        ]
+    return meta
 
 
 def _sample_from_parts(img: np.ndarray, mask: np.ndarray,
@@ -443,7 +452,7 @@ def _sample_from_parts(img: np.ndarray, mask: np.ndarray,
         areas = np.asarray(meta["areas"], np.float32)
     else:
         areas = hdf5_io.estimate_areas(joints)
-    return {
+    out = {
         "image": img,
         "mask": mask,
         "joints": joints,
@@ -451,6 +460,12 @@ def _sample_from_parts(img: np.ndarray, mask: np.ndarray,
         "scale_provided": np.float32(meta["scale_provided"]),
         "areas": areas,
     }
+    if "image_id" in meta:
+        out["image_id"] = int(meta["image_id"])
+    if "ignore_regions" in meta:
+        out["ignore_regions"] = [list(map(float, r))
+                                 for r in meta["ignore_regions"]]
+    return out
 
 
 def write_samples(path: str, samples, compression: str | None = "zlib",
