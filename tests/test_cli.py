@@ -276,8 +276,12 @@ def _run_cmd_eval(monkeypatch, capsys, dataset, results_path, joints):
     monkeypatch.setattr(cli_mod, "_estimator", lambda args, cfg=None: Stub())
     args = argparse.Namespace(
         dataset=dataset, max_images=0, buckets=None, eval_batch=8,
-        coco_results=results_path,
+        coco_results=results_path, annotations=None, images=None,
     )
+    if isinstance(dataset, dict):  # annotations mode
+        args.dataset = None
+        args.annotations = dataset["annotations"]
+        args.images = dataset["images"]
     assert cli_mod.cmd_eval(args) == 0
     return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
@@ -317,6 +321,80 @@ def test_eval_coco_results_use_real_image_ids(tmp_path, monkeypatch, capsys):
     assert sorted({r["image_id"] for r in records}) == [7, 9]
     assert len(records) == 4
     assert all(len(r["keypoints"]) == 51 for r in records)
+
+
+def _annotation_set(tmp_path, with_crowd):
+    """COCO annotation JSON + image dir matching _eval_dataset's scene:
+    one keypointed person per image (ids 7 and 9), crowd on both."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    for name in ("a.jpg", "b.jpg"):
+        cv2.imwrite(str(img_dir / name), np.zeros((200, 200, 3), np.uint8))
+    xs = np.linspace(100, 150, 17)
+    kps = []
+    for i in range(17):
+        kps += [float(xs[i]), float(xs[i]), 2]
+    anns = []
+    for i, iid in enumerate((7, 9)):
+        anns.append({"id": 100 + i, "image_id": iid, "iscrowd": 0,
+                     "num_keypoints": 17, "area": 2500.0,
+                     "bbox": [100, 100, 50, 50], "keypoints": kps})
+        if with_crowd:
+            anns.append({"id": 200 + i, "image_id": iid, "iscrowd": 1,
+                         "num_keypoints": 0, "area": 2500.0,
+                         "bbox": [0, 0, 50, 50], "keypoints": [0] * 51})
+    ann = {"images": [{"id": 7, "file_name": "a.jpg", "height": 200,
+                       "width": 200},
+                      {"id": 9, "file_name": "b.jpg", "height": 200,
+                       "width": 200}],
+           "annotations": anns}
+    path = tmp_path / f"ann_{with_crowd}.json"
+    path.write_text(json.dumps(ann))
+    return {"annotations": str(path), "images": str(img_dir)}
+
+
+def test_eval_from_coco_annotations_directly(tmp_path, monkeypatch, capsys):
+    """`cli eval --annotations ann.json --images dir` evaluates straight
+    from the COCO annotation file (one pass per image, crowd/ignore GT
+    included) — the reference-user workflow with no packing step."""
+    # detections match the 17 COCO keypoints; the synthesised neck is
+    # mid-shoulders, also on the diagonal -> exact GT match
+    from tpupose.data.coco_prep import coco_joints_to_parts
+
+    j = np.zeros((1, 18, 3))
+    xs = np.linspace(100, 150, 17)
+    kps = []
+    for i in range(17):
+        kps += [float(xs[i]), float(xs[i]), 2]
+    j[0] = coco_joints_to_parts(kps)
+
+    res = _run_cmd_eval(monkeypatch, capsys,
+                        _annotation_set(tmp_path, with_crowd=True),
+                        str(tmp_path / "r1.json"), j)
+    assert res["AP"] == pytest.approx(1.0)  # crowd absorbs the rank-1 det
+    res = _run_cmd_eval(monkeypatch, capsys,
+                        _annotation_set(tmp_path, with_crowd=False),
+                        str(tmp_path / "r2.json"), j)
+    assert res["AP"] == pytest.approx(0.5)  # ...which is otherwise a FP
+    with open(tmp_path / "r1.json") as f:
+        records = json.load(f)
+    assert sorted({r["image_id"] for r in records}) == [7, 9]
+
+
+def test_eval_source_flag_validation():
+    """--dataset/--annotations are mutually exclusive and one is
+    required; --annotations needs --images."""
+    r = run_cli(["eval"])
+    assert r.returncode == 2
+    assert "one of --dataset or --annotations" in r.stderr
+    r = run_cli(["eval", "--dataset", "x.h5", "--annotations", "a.json"])
+    assert r.returncode == 2
+    assert "mutually exclusive" in r.stderr
+    r = run_cli(["eval", "--annotations", "a.json"])
+    assert r.returncode == 2
+    assert "requires --images" in r.stderr
 
 
 def test_config_flag_error_paths(tmp_path):

@@ -353,12 +353,71 @@ def cmd_finetune(args) -> int:
     return _run_training(args, frozen_vgg=True)
 
 
-def cmd_eval(args) -> int:
+def _ignore_region_gt(regions):
+    """[x, y, w, h, area] rows -> coco_eval match-to-ignore GT dicts.
+
+    Detections falling on these regions match-to-ignore instead of
+    counting as false positives (data/coco_eval.py crowd semantics,
+    SURVEY §4 eval contract)."""
     import numpy as np
 
+    out = []
+    for reg in regions:
+        x, y, w, h, area = (float(v) for v in reg)
+        out.append({
+            "keypoints": np.full((18, 3), 2.0),  # all absent
+            "area": area if area > 0 else w * h,
+            "iscrowd": 1,
+            "num_keypoints": 0,
+            "bbox": [x, y, w, h],
+        })
+    return out
+
+
+def _eval_inputs(args):
+    """Yields (image, gt_list, image_id) from either eval source:
+    a packed dataset (--dataset; per-main-person records) or a COCO
+    annotation file + image dir (--annotations/--images; one record per
+    image, the reference-user workflow — no packing step)."""
+    if getattr(args, "annotations", None):
+        from tpupose.data.coco_prep import iter_eval_images
+
+        for rec in iter_eval_images(args.annotations, args.images):
+            gt = list(rec["gt"]) + _ignore_region_gt(rec["ignore_regions"])
+            yield rec["image"], gt, rec["image_id"]
+        return
     import tpupose.data as data_pkg
+
+    for rec in data_pkg.read_samples(args.dataset):
+        # real GT areas ride the records (bbox-estimated by the reader
+        # for pre-round-2 files without them) — OKS is exponential in area
+        gt = [
+            {"keypoints": j, "area": float(a)}
+            for j, a in zip(rec["joints"], rec["areas"])
+            if (j[:, 2] < 2).any()
+        ]
+        gt += _ignore_region_gt(rec.get("ignore_regions", ()))
+        yield rec["image"], gt, rec.get("image_id")
+
+
+def cmd_eval(args) -> int:
     from tpupose.data import coco_eval
 
+    if getattr(args, "annotations", None) and getattr(args, "dataset", None):
+        print("error: --dataset and --annotations are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if not getattr(args, "annotations", None) and not getattr(
+        args, "dataset", None
+    ):
+        print("error: one of --dataset or --annotations is required",
+              file=sys.stderr)
+        return 2
+    if getattr(args, "annotations", None) and not getattr(args, "images",
+                                                          None):
+        print("error: --annotations requires --images <dir>",
+              file=sys.stderr)
+        return 2
     est = _estimator(args)
     runner = None
     if getattr(args, "buckets", None):
@@ -368,35 +427,15 @@ def cmd_eval(args) -> int:
             est, resolve_buckets(args.buckets), batch_size=args.eval_batch
         )
     preds, gts, image_ids = [], [], []
-    for i, rec in enumerate(data_pkg.read_samples(args.dataset)):
+    for i, (image, gt, image_id) in enumerate(_eval_inputs(args)):
         if args.max_images and i >= args.max_images:
             break
         if runner is not None:
-            runner.add(rec["image"])
+            runner.add(image)
         else:
-            preds.append(est.process(rec["image"])["people"])
-        # real GT areas ride the records (bbox-estimated by the reader
-        # for pre-round-2 files without them) — OKS is exponential in area
-        gt = [
-            {"keypoints": j, "area": float(a)}
-            for j, a in zip(rec["joints"], rec["areas"])
-            if (j[:, 2] < 2).any()
-        ]
-        # COCOeval ignore regions (iscrowd / keypointless GT) ride
-        # round-4 records as [x, y, w, h, area]: detections falling on
-        # them match-to-ignore instead of counting as false positives
-        # (data/coco_eval.py crowd semantics, SURVEY §4 eval contract)
-        for reg in rec.get("ignore_regions", ()):
-            x, y, w, h, area = (float(v) for v in reg)
-            gt.append({
-                "keypoints": np.full((18, 3), 2.0),  # all absent
-                "area": area if area > 0 else w * h,
-                "iscrowd": 1,
-                "num_keypoints": 0,
-                "bbox": [x, y, w, h],
-            })
+            preds.append(est.process(image)["people"])
         gts.append(gt)
-        image_ids.append(rec.get("image_id"))
+        image_ids.append(image_id)
     if runner is not None:
         preds = runner.finish()
     if getattr(args, "coco_results", None):
@@ -539,8 +578,19 @@ def main(argv=None) -> int:
         _add_common_model_args(p)
         p.set_defaults(fn=fn)
 
-    p = sub.add_parser("eval", help="OKS keypoint AP over a packed dataset")
-    p.add_argument("--dataset", required=True)
+    p = sub.add_parser(
+        "eval",
+        help="OKS keypoint AP over a packed dataset or a COCO "
+             "annotation file",
+    )
+    p.add_argument("--dataset", default=None,
+                   help="packed .h5/.tpr dataset (per-main-person records)")
+    p.add_argument("--annotations", default=None, metavar="JSON",
+                   help="evaluate straight from a COCO keypoint annotation "
+                        "file (one pass per image, crowd/ignore GT "
+                        "included) — no packing step; requires --images")
+    p.add_argument("--images", default=None, metavar="DIR",
+                   help="image directory for --annotations")
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument(
         "--buckets", default=None,

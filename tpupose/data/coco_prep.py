@@ -199,6 +199,59 @@ def iter_records(
             }
 
 
+def iter_eval_images(
+    annotation_json: str, image_dir: str
+) -> Iterator[dict]:
+    """One record per IMAGE for direct evaluation (no packing step).
+
+    Unlike :func:`iter_records` (one record per qualifying main person,
+    the training contract), this yields each annotated image exactly once
+    with everything evaluation needs: ``image`` (BGR uint8), ``image_id``,
+    ``gt`` — the keypointed persons as coco_eval GT dicts ({"keypoints"
+    (18, 3) internal, "area", "num_keypoints"}) — and ``ignore_regions``
+    ([x, y, w, h, area] rows for iscrowd/keypointless annotations, the
+    match-to-ignore GT). Images that fail to load are skipped, images
+    with annotations but no keypointed person still evaluate (detections
+    on them are false positives unless absorbed by an ignore region),
+    exactly as pycocotools scores them."""
+    import cv2
+
+    with open(annotation_json) as f:
+        coco = json.load(f)
+    images = {im["id"]: im for im in coco["images"]}
+    by_image: dict[int, list[dict]] = defaultdict(list)
+    for a in coco["annotations"]:
+        by_image[a["image_id"]].append(a)
+
+    for image_id, anns in by_image.items():
+        info = images[image_id]
+        path = os.path.join(image_dir, info["file_name"])
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        gt = [
+            {
+                "keypoints": coco_joints_to_parts(a["keypoints"]),
+                "area": float(a.get("area", 0.0)),
+                "num_keypoints": int(a.get("num_keypoints", 0)),
+            }
+            for a in anns
+            if not a.get("iscrowd", 0) and a.get("num_keypoints", 0) > 0
+        ]
+        ignore = [
+            [float(v) for v in a["bbox"]] + [float(a.get("area", 0.0))]
+            for a in anns
+            if (a.get("iscrowd", 0) or a.get("num_keypoints", 0) == 0)
+            and a.get("bbox") is not None
+        ]
+        yield {
+            "image": img,
+            "image_id": int(image_id),
+            "gt": gt,
+            "ignore_regions": ignore,
+        }
+
+
 def pack(
     annotation_json: str, image_dir: str, out_path: str, boxsize: int = 368,
     compression: str | None = "lzf",
