@@ -247,6 +247,32 @@ def test_coco_prep_to_tpr_matches_h5(tmp_path, coco_dir):
         assert a.get("ignore_regions") == b.get("ignore_regions")
 
 
+def test_iter_eval_images_covers_unannotated_images(tmp_path, coco_dir):
+    """The eval iterator yields EVERY image in the GT set — pycocotools
+    scores detections on annotation-less images as false positives, so
+    skipping them would inflate AP."""
+    import cv2
+
+    ann_path, img_dir = coco_dir
+    ann = json.loads(open(ann_path).read())
+    cv2.imwrite(os.path.join(img_dir, "c.jpg"),
+                np.zeros((60, 70, 3), np.uint8))
+    ann["images"].append(
+        {"id": 3, "file_name": "c.jpg", "height": 60, "width": 70}
+    )
+    p2 = tmp_path / "ann2.json"
+    p2.write_text(json.dumps(ann))
+    recs = {r["image_id"]: r for r in
+            coco_prep.iter_eval_images(str(p2), img_dir)}
+    assert sorted(recs) == [1, 2, 3]
+    assert recs[3]["gt"] == [] and recs[3]["ignore_regions"] == []
+    # image 2 carries the keypointed person AND the crowd ignore region
+    assert len(recs[2]["gt"]) == 1
+    assert recs[2]["ignore_regions"] == [[0.0, 0.0, 100.0, 100.0, 9000.0]]
+    # under-annotated person 11 (2 kps) still counts as real GT on image 1
+    assert len(recs[1]["gt"]) == 2
+
+
 def test_coco_joints_conversion():
     kps = [0] * 51
     # left_shoulder (idx 5) visible at (10, 20); right_shoulder (idx 6)

@@ -210,21 +210,22 @@ def iter_eval_images(
     ``gt`` — the keypointed persons as coco_eval GT dicts ({"keypoints"
     (18, 3) internal, "area", "num_keypoints"}) — and ``ignore_regions``
     ([x, y, w, h, area] rows for iscrowd/keypointless annotations, the
-    match-to-ignore GT). Images that fail to load are skipped, images
-    with annotations but no keypointed person still evaluate (detections
-    on them are false positives unless absorbed by an ignore region),
-    exactly as pycocotools scores them."""
+    match-to-ignore GT). Images that fail to load are skipped; images
+    with no keypointed person — or no annotations at all — still
+    evaluate (detections on them are false positives unless absorbed by
+    an ignore region), exactly as pycocotools scores every image in the
+    GT set."""
     import cv2
 
     with open(annotation_json) as f:
         coco = json.load(f)
-    images = {im["id"]: im for im in coco["images"]}
     by_image: dict[int, list[dict]] = defaultdict(list)
     for a in coco["annotations"]:
         by_image[a["image_id"]].append(a)
 
-    for image_id, anns in by_image.items():
-        info = images[image_id]
+    for info in coco["images"]:
+        image_id = info["id"]
+        anns = by_image.get(image_id, [])
         path = os.path.join(image_dir, info["file_name"])
         img = cv2.imread(path)
         if img is None:
