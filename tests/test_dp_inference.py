@@ -4,6 +4,8 @@ Sharding the image batch must not change any decode output: the program
 is per-image except the batch-global tier cond (a scalar all-reduce).
 """
 
+import json
+
 import numpy as np
 
 from tpupose.config import with_scales
@@ -42,3 +44,67 @@ def test_dp_batch_pads_to_mesh():
     want = est.process_batch(images)
     got = dp_process_batch(est, images, make_mesh(4))
     _people_equal(want, got)
+
+
+def test_dp_estimator_is_a_drop_in_for_serving():
+    """DataParallelEstimator duck-types the process_batch contract the
+    micro-batcher uses (scales + valid_hw kwargs, attribute delegation),
+    so `serve --dp N` shards device batches without code changes."""
+    from tpupose.parallel.inference import DataParallelEstimator
+
+    est = PoseEstimator(cfg=with_scales((1.0,)))
+    dp = DataParallelEstimator(est, make_mesh(4))
+    assert dp.pretrained == est.pretrained  # delegation
+    rng = np.random.default_rng(2)
+    images = (rng.random((6, 64, 64, 3)) * 255).astype(np.uint8)
+    # bucketed path: bottom/right canvas padding masked via valid_hw
+    valid = np.asarray([[64, 64]] * 6, np.int32)
+    valid[3] = (40, 48)
+    want = est.process_batch(images, valid_hw=valid)
+    got = dp.process_batch(images, valid_hw=valid)
+    _people_equal(want, got)
+
+
+def test_dp_serving_end_to_end():
+    """HTTP serving over the mesh: serve() with a DP-wrapped estimator
+    returns the same decode as the single-device server."""
+    import urllib.request
+
+    from tpupose.parallel.inference import DataParallelEstimator
+    from tpupose.serve import serve
+
+    est = PoseEstimator(cfg=with_scales((1.0,)))
+    rng = np.random.default_rng(3)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+
+    def post(srv):
+        import cv2
+
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/pose",
+            data=buf.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    srv = serve(est, port=0, max_batch=4, batch_window_ms=2.0,
+                request_timeout_s=600.0)
+    try:
+        want = post(srv)
+    finally:
+        srv.shutdown()
+        if srv.batcher is not None:
+            srv.batcher.close()
+    dp = DataParallelEstimator(est, make_mesh(4))
+    srv = serve(dp, port=0, max_batch=4, batch_window_ms=2.0,
+                request_timeout_s=600.0)
+    try:
+        got = post(srv)
+    finally:
+        srv.shutdown()
+        if srv.batcher is not None:
+            srv.batcher.close()
+    assert want == got

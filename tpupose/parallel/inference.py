@@ -25,7 +25,61 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpupose.decode import to_people
+
+class DataParallelEstimator:
+    """``PoseEstimator`` facade sharding every device batch over
+    ``mesh``'s 'data' axis — a drop-in for anything that duck-types the
+    ``process_batch(images, scales=, valid_hw=)`` contract
+    (``serve.MicroBatcher``, ``buckets.BucketedRunner``), so HTTP
+    serving and bucketed eval scale across chips without code changes.
+
+    Images beyond a device-count multiple are padded with blank rows
+    (decoded then discarded); a padded ``valid_hw`` row is (1, 1) so no
+    peak survives the mask either way. Single-image ``process`` and
+    attribute access (``cfg``, ``params``, ``pretrained``…) delegate to
+    the wrapped estimator.
+    """
+
+    def __init__(self, est: Any, mesh: Mesh):
+        self._est = est
+        self._mesh = mesh
+
+    def __getattr__(self, name):  # cfg / params / pretrained / process…
+        return getattr(self._est, name)
+
+    def process_batch(
+        self,
+        images: np.ndarray,
+        scales: tuple[float, ...] | None = None,
+        valid_hw: np.ndarray | None = None,
+    ) -> list[list[dict]]:
+        n, h, w = images.shape[:3]
+        n_dev = self._mesh.devices.size
+        n_pad = (n_dev - n % n_dev) % n_dev
+        if n_pad:
+            blanks = np.zeros((n_pad, h, w, images.shape[3]), images.dtype)
+            images = np.concatenate([images, blanks])
+            if valid_hw is not None:
+                valid_hw = np.concatenate([
+                    np.asarray(valid_hw, np.int32),
+                    np.ones((n_pad, 2), np.int32),
+                ])
+        shard = NamedSharding(self._mesh, P("data"))
+        sharded = jax.device_put(np.ascontiguousarray(images), shard)
+        fn = self._est._batch_fn(
+            n + n_pad, h, w, scales, masked=valid_hw is not None
+        )
+        if valid_hw is None:
+            tables = fn(self._est.params, sharded)
+        else:
+            tables = fn(
+                self._est.params, sharded,
+                jax.device_put(
+                    np.ascontiguousarray(np.asarray(valid_hw, np.int32)),
+                    shard,
+                ),
+            )
+        return self._est._finish(n + n_pad, tables)[:n]
 
 
 def dp_process_batch(
@@ -35,20 +89,6 @@ def dp_process_batch(
     scales: tuple[float, ...] | None = None,
 ) -> list[list[dict]]:
     """``PoseEstimator.process_batch`` with the batch sharded over
-    ``mesh``'s 'data' axis. Images beyond a device-count multiple are
-    handled by padding with blank rows (decoded then discarded).
-    """
-    n, h, w = images.shape[:3]
-    n_dev = mesh.devices.size
-    n_pad = (n_dev - n % n_dev) % n_dev
-    if n_pad:
-        blanks = np.zeros((n_pad, h, w, images.shape[3]), images.dtype)
-        images = np.concatenate([images, blanks])
-    sharded = jax.device_put(
-        np.ascontiguousarray(images), NamedSharding(mesh, P("data"))
-    )
-    fn = est._batch_fn(n + n_pad, h, w, scales)
-    tables = jax.device_get(fn(est.params, sharded))
-    return [
-        to_people(jax.tree.map(lambda x: x[i], tables)) for i in range(n)
-    ]
+    ``mesh``'s 'data' axis (functional form of
+    :class:`DataParallelEstimator`)."""
+    return DataParallelEstimator(est, mesh).process_batch(images, scales)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -496,6 +497,12 @@ def main(argv=None) -> int:
         help="persistent XLA compilation cache: warm restarts reload "
              "compiled programs instead of paying 20-40 s each",
     )
+    ap.add_argument(
+        "--dp", default=None, metavar="N|auto",
+        help="shard each device batch over N chips (data-parallel "
+             "serving via a jax Mesh; 'auto' = every visible device). "
+             "Pair with --max-batch >= N so batches actually span chips",
+    )
     _add_common_model_args(ap)
     args = ap.parse_args(argv)
 
@@ -507,7 +514,27 @@ def main(argv=None) -> int:
     from tpupose.buckets import resolve_buckets
 
     bks = resolve_buckets(args.buckets)
+    dp_n = 0
+    if args.dp:  # validate before paying for the model build
+        import jax
+
+        devs = jax.devices()
+        dp_n = len(devs) if args.dp == "auto" else int(args.dp)
+        if dp_n > len(devs):
+            print(f"error: --dp {dp_n} exceeds the {len(devs)} visible "
+                  "device(s)", file=sys.stderr)
+            return 2
     est = _estimator(args)
+    if dp_n > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        from tpupose.parallel.inference import DataParallelEstimator
+
+        est = DataParallelEstimator(
+            est, Mesh(jax.devices()[:dp_n], ("data",))
+        )
+        print(f"data-parallel serving over {dp_n} devices", file=sys.stderr)
     # one wiring path: main() uses serve() so the CLI and the embedded
     # API can never diverge (batcher/metrics attach the same way)
     server = serve(
