@@ -40,6 +40,7 @@ def test_train_synthetic_smoke(tmp_path):
             "train", "--dataset", "synthetic", "--max-steps", "2",
             "--batch-size", "2", "--boxsize", "64", "--stages", "1",
             "--workdir", str(tmp_path / "run"),
+            "--val-dataset", "synthetic", "--val-every", "2",
         ]
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -49,6 +50,12 @@ def test_train_synthetic_smoke(tmp_path):
     # checkpoint + CSV artifacts exist (reference artifact parity)
     assert os.path.exists(tmp_path / "run" / "training.csv")
     assert os.path.isdir(tmp_path / "run" / "checkpoints")
+    # --val-dataset: held-out losses land in validation.csv
+    val_lines = (
+        (tmp_path / "run" / "validation.csv").read_text().strip().splitlines()
+    )
+    assert val_lines[0].startswith("step,")
+    assert len(val_lines) >= 2
 
 
 def test_finetune_resumes_from_checkpoint(tmp_path):
@@ -395,6 +402,13 @@ def test_eval_source_flag_validation():
     r = run_cli(["eval", "--annotations", "a.json"])
     assert r.returncode == 2
     assert "requires --images" in r.stderr
+    r = run_cli(["eval", "--dataset", "x.h5", "--dp", "2"])
+    assert r.returncode == 2
+    assert "--dp requires --buckets" in r.stderr
+    r = run_cli(["eval", "--dataset", "x.h5", "--dp", "99",
+                 "--buckets", "default"])
+    assert r.returncode == 2
+    assert "exceeds" in r.stderr
 
 
 def test_config_flag_error_paths(tmp_path):

@@ -65,6 +65,23 @@ def test_dp_estimator_is_a_drop_in_for_serving():
     _people_equal(want, got)
 
 
+def test_dp_bucketed_runner_matches_plain():
+    """BucketedRunner drives process_batch_async/_finish — the DP
+    wrapper must shard that path too (cli eval --dp --buckets)."""
+    from tpupose.buckets import BucketedRunner
+    from tpupose.parallel.inference import DataParallelEstimator
+
+    est = PoseEstimator(cfg=with_scales((1.0,)))
+    rng = np.random.default_rng(4)
+    imgs = [(rng.random((48 + 8 * i, 64, 3)) * 255).astype(np.uint8)
+            for i in range(5)]
+    buckets = ((64, 64),)
+    want = BucketedRunner(est, buckets, batch_size=4).process_many(imgs)
+    dp = DataParallelEstimator(est, make_mesh(4))
+    got = BucketedRunner(dp, buckets, batch_size=4).process_many(imgs)
+    _people_equal(want, got)
+
+
 def test_dp_serving_end_to_end():
     """HTTP serving over the mesh: serve() with a DP-wrapped estimator
     returns the same decode as the single-device server."""

@@ -329,9 +329,26 @@ def _run_training(args, frozen_vgg: bool) -> int:
         # inflate path; pre-padded ones skip host-side prep entirely.
         batches = pipeline.dataset_batches(args.dataset, cfg, shard="auto")
 
+    val_batches = None
+    if getattr(args, "val_dataset", None):
+        # the reference's fit_generator validation_data: a fresh pass
+        # over the held-out set each time the loop validates (epochs=1,
+        # unshuffled; shard="auto" keeps multi-host batch counts equal)
+        if args.val_dataset == "synthetic":
+            def val_batches():
+                return pipeline.synthetic_batches(cfg, seed=997, n_batches=2)
+        else:
+            def val_batches():
+                return pipeline.dataset_batches(
+                    args.val_dataset, cfg, epochs=1, shuffle_seed=None,
+                    shard="auto",
+                )
+
     result = loop.train(
         cfg, batches, params=params, workdir=args.workdir,
         max_steps=args.max_steps,
+        val_batches=val_batches,
+        val_every=getattr(args, "val_every", None),
     )
     print(
         json.dumps(
@@ -418,7 +435,27 @@ def cmd_eval(args) -> int:
         print("error: --annotations requires --images <dir>",
               file=sys.stderr)
         return 2
+    dp = getattr(args, "dp", None)
+    if dp:  # validate before paying for the model build
+        from tpupose.parallel.inference import resolve_dp
+
+        if not getattr(args, "buckets", None):
+            print("error: --dp requires --buckets (per-image eval never "
+                  "builds device batches to shard)", file=sys.stderr)
+            return 2
+        try:
+            resolve_dp(dp)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     est = _estimator(args)
+    if dp:
+        from tpupose.parallel.inference import wrap_dp
+
+        est, n_dp = wrap_dp(est, dp)
+        if n_dp > 1:
+            print(f"data-parallel eval over {n_dp} devices",
+                  file=sys.stderr)
     runner = None
     if getattr(args, "buckets", None):
         from tpupose.buckets import BucketedRunner, resolve_buckets
@@ -564,6 +601,14 @@ def main(argv=None) -> int:
         p.add_argument("--workdir", default=f"runs/{name}")
         p.add_argument("--max-steps", type=int, default=None)
         p.add_argument("--batch-size", type=int, default=None)
+        p.add_argument("--val-dataset", default=None, metavar="PATH",
+                       help="held-out packed dataset (or 'synthetic'): "
+                            "per-head eval losses every --val-every steps "
+                            "to workdir/validation.csv + TensorBoard (the "
+                            "reference's fit_generator validation_data)")
+        p.add_argument("--val-every", type=int, default=None,
+                       help="steps between validation passes (default: "
+                            "the checkpoint interval)")
         p.add_argument("--grain", action="store_true",
                        help="Grain feed: checkpointable data position "
                        "(exact mid-epoch resume after preemption)")
@@ -600,6 +645,9 @@ def main(argv=None) -> int:
     )
     p.add_argument("--eval-batch", type=int, default=8,
                    help="batch size per bucket with --buckets")
+    p.add_argument("--dp", default=None, metavar="N|auto",
+                   help="shard each bucketed device batch over N chips "
+                        "(requires --buckets; pair with --eval-batch >= N)")
     p.add_argument("--coco-results", default=None, metavar="JSON",
                    help="also write detections as pycocotools keypoint "
                         "results (17-kp COCO order; loadRes-compatible "

@@ -11,7 +11,9 @@ Record layout (one HDF5 group per sample, this framework's writer):
   image  (H, W, 3) uint8
   mask   (H, W)    uint8 (255 = keep)
   meta   attrs: center (2,), scale_provided (), joints (P, 18, 3),
-         areas (P,) GT segmentation areas
+         areas (P,) GT segmentation areas; optional eval-side keys
+         (round 4): image_id (original COCO id) and ignore_regions
+         ([x, y, w, h, area] rows for iscrowd/keypointless GT)
 
 The reader ALSO parses the upstream lineage's packed-datum layout
 (``py_rmpe_server/generate_hdf5.py``): ``/datum/<key>`` DATASETS (not

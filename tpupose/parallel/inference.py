@@ -47,12 +47,16 @@ class DataParallelEstimator:
     def __getattr__(self, name):  # cfg / params / pretrained / process…
         return getattr(self._est, name)
 
-    def process_batch(
+    def process_batch_async(
         self,
         images: np.ndarray,
         scales: tuple[float, ...] | None = None,
         valid_hw: np.ndarray | None = None,
-    ) -> list[list[dict]]:
+    ):
+        """Sharded dispatch, no host sync — the contract
+        ``buckets.BucketedRunner`` pipelines on (resolve with
+        ``_finish(n, tables)``, which delegates to the wrapped
+        estimator)."""
         n, h, w = images.shape[:3]
         n_dev = self._mesh.devices.size
         n_pad = (n_dev - n % n_dev) % n_dev
@@ -79,7 +83,48 @@ class DataParallelEstimator:
                     shard,
                 ),
             )
-        return self._est._finish(n + n_pad, tables)[:n]
+        return n + n_pad, tables
+
+    def process_batch(
+        self,
+        images: np.ndarray,
+        scales: tuple[float, ...] | None = None,
+        valid_hw: np.ndarray | None = None,
+    ) -> list[list[dict]]:
+        n = images.shape[0]
+        nb, tables = self.process_batch_async(images, scales, valid_hw)
+        return self._est._finish(nb, tables)[:n]
+
+
+def resolve_dp(spec: str, devices=None) -> int:
+    """Validate a ``--dp`` spec ('N' or 'auto') against the visible
+    devices and return N. Raises ValueError when N exceeds them —
+    callers check this BEFORE paying for the model build."""
+    import jax
+
+    devs = devices if devices is not None else jax.devices()
+    n = len(devs) if spec == "auto" else int(spec)
+    if n > len(devs):
+        raise ValueError(
+            f"--dp {n} exceeds the {len(devs)} visible device(s)"
+        )
+    return n
+
+
+def wrap_dp(est: Any, spec: str, devices=None):
+    """CLI-facing constructor: ``'N'`` or ``'auto'`` -> the estimator
+    wrapped over the first N visible devices (shared by ``serve --dp``
+    and ``cli eval --dp``). Returns ``(estimator, n)``; unchanged when
+    N == 1. Raises ValueError when N exceeds the visible device count."""
+    import jax
+
+    devs = list(devices) if devices is not None else jax.devices()
+    n = resolve_dp(spec, devs)
+    if n <= 1:
+        return est, n
+    return DataParallelEstimator(
+        est, Mesh(np.asarray(devs[:n]), ("data",))
+    ), n
 
 
 def dp_process_batch(

@@ -514,27 +514,22 @@ def main(argv=None) -> int:
     from tpupose.buckets import resolve_buckets
 
     bks = resolve_buckets(args.buckets)
-    dp_n = 0
     if args.dp:  # validate before paying for the model build
-        import jax
+        from tpupose.parallel.inference import resolve_dp
 
-        devs = jax.devices()
-        dp_n = len(devs) if args.dp == "auto" else int(args.dp)
-        if dp_n > len(devs):
-            print(f"error: --dp {dp_n} exceeds the {len(devs)} visible "
-                  "device(s)", file=sys.stderr)
+        try:
+            resolve_dp(args.dp)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
             return 2
     est = _estimator(args)
-    if dp_n > 1:
-        import jax
-        from jax.sharding import Mesh
+    if args.dp:
+        from tpupose.parallel.inference import wrap_dp
 
-        from tpupose.parallel.inference import DataParallelEstimator
-
-        est = DataParallelEstimator(
-            est, Mesh(jax.devices()[:dp_n], ("data",))
-        )
-        print(f"data-parallel serving over {dp_n} devices", file=sys.stderr)
+        est, dp_n = wrap_dp(est, args.dp)
+        if dp_n > 1:
+            print(f"data-parallel serving over {dp_n} devices",
+                  file=sys.stderr)
     # one wiring path: main() uses serve() so the CLI and the embedded
     # API can never diverge (batcher/metrics attach the same way)
     server = serve(
