@@ -558,3 +558,51 @@ def test_abandoned_requests_release_queue_capacity():
     finally:
         release.set()
         mb.close()
+
+
+def test_warmup_covers_every_batcher_program():
+    """warmup_estimator must pre-hit EXACTLY the jit-cache keys the
+    micro-batcher's live path produces — (canvas shape, pow2 batch,
+    valid_hw present) — so a cold server never compiles on a request."""
+    from tpupose.serve import MicroBatcher, warmup_estimator
+
+    calls = []
+
+    class Recording:
+        def process_batch(self, imgs, scales=None, valid_hw=None):
+            calls.append((imgs.shape, valid_hw is not None))
+            return [[] for _ in range(len(imgs))]
+
+    est = Recording()
+    buckets = ((64, 64), (64, 96))
+    n = warmup_estimator(est, buckets, max_batch=6)
+    # pow2 ladder for max_batch=6 -> 1, 2, 4, 8 per bucket
+    assert n == 8
+    warmed = set(calls)
+    assert ((8, 64, 96, 3), True) in warmed
+    assert ((1, 64, 64, 3), True) in warmed
+
+    # live traffic: mixed shapes through the batcher — every program it
+    # runs must already be warmed
+    calls.clear()
+    mb = MicroBatcher(est, max_batch=6, window_ms=1.0, buckets=buckets)
+    try:
+        rng = np.random.default_rng(0)
+        for h, w in [(40, 60), (64, 64), (30, 90), (64, 96), (17, 23)]:
+            mb.submit((rng.random((h, w, 3)) * 255).astype(np.uint8))
+    finally:
+        mb.close()
+    assert calls, "batcher never reached the estimator"
+    for key in calls:
+        assert key in warmed, f"cold program after warmup: {key}"
+
+
+def test_warmup_without_buckets_is_a_noop():
+    from tpupose.serve import warmup_estimator
+
+    class Boom:
+        def process_batch(self, *a, **k):
+            raise AssertionError("must not be called")
+
+    assert warmup_estimator(Boom(), None) == 0
+    assert warmup_estimator(Boom(), ()) == 0

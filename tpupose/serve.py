@@ -469,6 +469,36 @@ def serve(estimator, host: str = "127.0.0.1", port: int = 8080,
     return server
 
 
+def warmup_estimator(estimator, buckets, max_batch: int = 1, scales=None,
+                     log=None) -> int:
+    """Pre-compile every batched program live traffic can reach.
+
+    The micro-batcher's jit-cache key is (bucket canvas, power-of-two
+    device batch, valid_hw present) — see ``MicroBatcher._process``. A
+    cold server otherwise pays each compile (20-120 s on TPU) on the
+    first unlucky request, blowing its ``--request-timeout-s`` deadline.
+    Runs one blank ``process_batch`` per (bucket x pow2 size <=
+    ceil_pow2(max_batch)) with ``valid_hw`` exactly as the batcher
+    passes it; returns the number of programs warmed.
+    """
+    if not buckets:
+        return 0
+    top = 1 << (max(1, int(max_batch)) - 1).bit_length()
+    sizes = [1 << i for i in range(top.bit_length())]
+    warmed = 0
+    for bh, bw in buckets:
+        for n in sizes:
+            t0 = time.perf_counter()
+            imgs = np.zeros((n, bh, bw, 3), np.uint8)
+            valid = np.asarray([[bh, bw]] * n, np.int32)
+            estimator.process_batch(imgs, scales=scales, valid_hw=valid)
+            warmed += 1
+            if log is not None:
+                log(f"warmup {bh}x{bw} batch={n}: "
+                    f"{time.perf_counter() - t0:.1f}s")
+    return warmed
+
+
 def main(argv=None) -> int:
     from tpupose.cli import _add_common_model_args, _estimator
 
@@ -498,6 +528,12 @@ def main(argv=None) -> int:
              "compiled programs instead of paying 20-40 s each",
     )
     ap.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every (bucket x batch-size) program before "
+             "accepting traffic (requires --buckets) — cold starts never "
+             "land on a live request's deadline",
+    )
+    ap.add_argument(
         "--dp", default=None, metavar="N|auto",
         help="shard each device batch over N chips (data-parallel "
              "serving via a jax Mesh; 'auto' = every visible device). "
@@ -514,6 +550,11 @@ def main(argv=None) -> int:
     from tpupose.buckets import resolve_buckets
 
     bks = resolve_buckets(args.buckets)
+    if args.warmup and not bks:
+        print("error: --warmup requires --buckets (without a bucket "
+              "ladder the request shapes, hence the programs to "
+              "compile, are unknown)", file=sys.stderr)
+        return 2
     if args.dp:  # validate before paying for the model build
         from tpupose.parallel.inference import resolve_dp
 
@@ -530,6 +571,12 @@ def main(argv=None) -> int:
         if dp_n > 1:
             print(f"data-parallel serving over {dp_n} devices",
                   file=sys.stderr)
+    if args.warmup:
+        n = warmup_estimator(
+            est, bks, max_batch=args.max_batch,
+            log=lambda m: print(m, file=sys.stderr),
+        )
+        print(f"warmed {n} programs", file=sys.stderr)
     # one wiring path: main() uses serve() so the CLI and the embedded
     # API can never diverge (batcher/metrics attach the same way)
     server = serve(
