@@ -125,3 +125,20 @@ def test_dp_serving_end_to_end():
         if srv.batcher is not None:
             srv.batcher.close()
     assert want == got
+
+
+def test_resolve_dp_validation():
+    """--dp spec parsing: shared by serve --dp and cli eval --dp."""
+    import pytest
+
+    from tpupose.parallel.inference import resolve_dp
+
+    devs = list(range(4))  # only len() is used
+    assert resolve_dp("auto", devs) == 4
+    assert resolve_dp("2", devs) == 2
+    with pytest.raises(ValueError, match="exceeds"):
+        resolve_dp("5", devs)
+    with pytest.raises(ValueError, match=">= 1"):
+        resolve_dp("0", devs)
+    with pytest.raises(ValueError, match="device count or 'auto'"):
+        resolve_dp("many", devs)

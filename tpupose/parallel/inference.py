@@ -103,7 +103,16 @@ def resolve_dp(spec: str, devices=None) -> int:
     import jax
 
     devs = devices if devices is not None else jax.devices()
-    n = len(devs) if spec == "auto" else int(spec)
+    if spec == "auto":
+        n = len(devs)
+    else:
+        try:
+            n = int(spec)
+        except ValueError:
+            raise ValueError(f"--dp must be a device count or 'auto', "
+                             f"got {spec!r}") from None
+    if n < 1:
+        raise ValueError(f"--dp must be >= 1, got {n}")
     if n > len(devs):
         raise ValueError(
             f"--dp {n} exceeds the {len(devs)} visible device(s)"
