@@ -556,6 +556,33 @@ def cmd_export_weights(args) -> int:
     return 0
 
 
+def cmd_export_program(args) -> int:
+    """Serving programs + weights -> one .tppx deployment bundle.
+
+    The artifact counterpart of export-weights: where that ships
+    weights back to the reference ecosystem, this ships the COMPILED
+    inference pipeline (pyramid, decode capacities, thresholds all
+    pinned) to a serving host that runs it without tpupose model code.
+    """
+    from tpupose.buckets import resolve_buckets
+    from tpupose.deploy import save_bundle
+
+    bks = resolve_buckets(args.buckets)
+    if not bks:
+        print("error: export-program requires a bucket ladder "
+              "(--buckets default | 'HxW,...')", file=sys.stderr)
+        return 2
+    est = _estimator(args)
+    manifest = save_bundle(
+        args.output, est, bks, max_batch=args.max_batch,
+        log=lambda m: print(m, file=sys.stderr),
+    )
+    print(f"wrote {args.output}: {len(manifest['programs'])} programs, "
+          f"scales={tuple(manifest['scales'])}, "
+          f"pretrained={manifest['pretrained']}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from tpupose import benchmark
 
@@ -672,6 +699,23 @@ def main(argv=None) -> int:
                    help="Orbax run/checkpoint directory")
     p.add_argument("--output", required=True, help=".h5 path to write")
     p.set_defaults(fn=cmd_export_weights)
+
+    p = sub.add_parser(
+        "export-program",
+        help="serialize the serving programs + weights into a .tppx "
+             "deployment bundle (jax.export; serve --program loads it "
+             "without any model/decode Python code)",
+    )
+    p.add_argument("--output", required=True, help=".tppx path to write")
+    p.add_argument("--buckets", default="default",
+                   help="bucket ladder to export: 'default' or "
+                        "'368x368,368x496,...' (one program per "
+                        "bucket x power-of-two batch)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="largest device batch to export (powers of two "
+                        "up to this are included)")
+    _add_common_model_args(p)
+    p.set_defaults(fn=cmd_export_program)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -539,6 +539,13 @@ def main(argv=None) -> int:
              "serving via a jax Mesh; 'auto' = every visible device). "
              "Pair with --max-batch >= N so batches actually span chips",
     )
+    ap.add_argument(
+        "--program", default=None, metavar="TPPX",
+        help="serve a .tppx deployment bundle (cli export-program): "
+             "exported programs + weights, no model/decode Python code "
+             "re-traced on this host. Bucket ladder and max batch "
+             "default to the bundle's own",
+    )
     _add_common_model_args(ap)
     args = ap.parse_args(argv)
 
@@ -550,6 +557,74 @@ def main(argv=None) -> int:
     from tpupose.buckets import resolve_buckets
 
     bks = resolve_buckets(args.buckets)
+    if args.program:
+        # bundle mode: the artifact carries weights + the compiled
+        # pipeline, so live-model flags cannot apply to it
+        for flag, val in (("--weights", args.weights),
+                          ("--checkpoint", args.checkpoint),
+                          ("--config", args.config),
+                          ("--scales", args.scales),
+                          ("--boxsize", args.boxsize),
+                          ("--stages", args.stages),
+                          ("--decode-groups",
+                           getattr(args, "decode_groups", None)),
+                          ("--dp", args.dp)):
+            if val:
+                print(f"error: {flag} cannot be combined with --program "
+                      "(the bundle pins weights, pyramid and decode; "
+                      "data-parallel serving needs the live estimator)",
+                      file=sys.stderr)
+                return 2
+        from tpupose.deploy import load_bundle
+
+        try:
+            est = load_bundle(args.program)
+        except Exception as e:
+            print(f"error: cannot load bundle {args.program}: {e}",
+                  file=sys.stderr)
+            return 2
+        if bks is None:
+            bks = est.buckets
+        elif tuple(bks) != est.buckets:
+            print(f"error: --buckets {tuple(bks)} does not match the "
+                  f"bundle's exported ladder {est.buckets} (programs "
+                  "exist only for the exported canvases)",
+                  file=sys.stderr)
+            return 2
+        if args.max_batch == 1:
+            args.max_batch = est.max_batch
+        elif args.max_batch > est.max_batch:
+            print(f"error: --max-batch {args.max_batch} exceeds the "
+                  f"bundle's exported maximum {est.max_batch}",
+                  file=sys.stderr)
+            return 2
+        if args.warmup:
+            n = warmup_estimator(
+                est, bks, max_batch=args.max_batch,
+                log=lambda m: print(m, file=sys.stderr),
+            )
+            print(f"warmed {n} programs", file=sys.stderr)
+        server = serve(
+            est, host=args.host, port=args.port,
+            max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms, buckets=bks,
+            max_queue=args.max_queue,
+            request_timeout_s=args.request_timeout_s,
+            max_pending=args.max_pending,
+        )
+        print(f"serving bundle {args.program} on "
+              f"http://{args.host}:{args.port}  "
+              f"(pretrained={est.pretrained})")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            if server.batcher is not None:
+                server.batcher.close()
+        return 0
     if args.warmup and not bks:
         print("error: --warmup requires --buckets (without a bucket "
               "ladder the request shapes, hence the programs to "
