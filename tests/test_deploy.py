@@ -82,6 +82,56 @@ def test_bundle_single_image_routes_through_buckets(est, bundle):
     )
 
 
+def test_bundle_bucketed_runner_dropin(est, bundle):
+    """DeployedEstimator drops into buckets.BucketedRunner unchanged:
+    it implements process_batch_async/_finish, and batch sizes between
+    exported programs are padded up to the next exported power of two
+    internally, so the runner's pad-to-batch_size behavior lands on an
+    exported program (round-4 advisor, medium)."""
+    from tpupose.buckets import BucketedRunner
+
+    dep = load_bundle(bundle)
+    rng = np.random.default_rng(11)
+    # mixed off-ladder shapes; 3 images with batch_size=2 exercises a
+    # full flush plus a padded remainder flush
+    images = [
+        rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        for h, w in [(96, 96), (80, 64), (50, 90)]
+    ]
+    packed = BucketedRunner(
+        dep, buckets=dep.buckets, scales=dep.scales, batch_size=2
+    ).process_many(images)
+    live = BucketedRunner(
+        est, buckets=dep.buckets, scales=dep.scales, batch_size=2
+    ).process_many(images)
+    assert json.dumps(packed, sort_keys=True) == json.dumps(
+        live, sort_keys=True
+    )
+
+
+def test_bundle_pow2_padding_and_ceiling(est, tmp_path):
+    """A bundle exported with --max-batch 5 carries batch-1/2/4/8
+    programs; its serving ceiling is the exported pow2 top (8), and an
+    odd submission (n=3) pads up to the n=4 program with padded rows
+    dropped (round-4 advisor: ceiling compared against the raw arg)."""
+    path = str(tmp_path / "five.tppx")
+    manifest = save_bundle(path, est, [BUCKET], max_batch=5)
+    assert sorted(p["n"] for p in manifest["programs"]) == [1, 2, 4, 8]
+    dep = load_bundle(path)
+    assert dep.max_batch == 8
+
+    imgs = _batch(seed=9, n=3)
+    live = est.process_batch(imgs)
+    assert json.dumps(dep.process_batch(imgs), sort_keys=True) == (
+        json.dumps(live, sort_keys=True)
+    )
+    # n=6 rides the n=8 program even though the raw --max-batch was 5
+    imgs6 = _batch(seed=10, n=6)
+    assert json.dumps(dep.process_batch(imgs6), sort_keys=True) == (
+        json.dumps(est.process_batch(imgs6), sort_keys=True)
+    )
+
+
 def test_bundle_rejects_foreign_scales_and_shapes(bundle):
     dep = load_bundle(bundle)
     imgs = _batch()

@@ -62,14 +62,29 @@ def _pow2_sizes(max_batch: int) -> list[int]:
 
 
 def _flatten_params(params) -> dict[str, np.ndarray]:
+    """Dict-tree -> {'a/b/c': array}. Refuses trees the '/'-joined key
+    scheme cannot round-trip (non-dict nodes, '/' inside a key): a
+    silently mis-nested tree would fail much later inside
+    ``Exported.call`` with an opaque structure error."""
     import jax
 
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(
-            p.key if hasattr(p, "key") else str(p.idx) for p in path
-        )
-        flat[key] = np.asarray(jax.device_get(leaf))
+        parts = []
+        for p in path:
+            if not hasattr(p, "key"):
+                raise ValueError(
+                    "save_bundle supports plain nested-dict param trees "
+                    f"only; found a non-dict node at {path!r}"
+                )
+            key = str(p.key)
+            if "/" in key:
+                raise ValueError(
+                    f"param key {key!r} contains '/', which collides with "
+                    "the bundle's flattened-key separator"
+                )
+            parts.append(key)
+        flat["/".join(parts)] = np.asarray(jax.device_get(leaf))
     return flat
 
 
@@ -127,7 +142,9 @@ def save_bundle(path: str, estimator,
 
     flat = _flatten_params(estimator.params)
     wbuf = io.BytesIO()
-    np.savez(wbuf, **flat)
+    # compressed: np.savez stores raw .npy members, so a flagship
+    # bundle would otherwise carry ~200 MB of uncompressed float32
+    np.savez_compressed(wbuf, **flat)
     wbytes = wbuf.getvalue()
 
     members: list[tuple[str, bytes]] = [(_WEIGHTS, wbytes)]
@@ -158,7 +175,8 @@ def save_bundle(path: str, estimator,
         "programs": programs,
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        # STORED: program blobs and npz payloads are already compressed
+        # STORED: the weights npz is already deflated above and the
+        # StableHLO program blobs compress negligibly
         zf.writestr(_MANIFEST, json.dumps(manifest, indent=1))
         for name, blob in members:
             zf.writestr(name, blob)
@@ -177,7 +195,14 @@ class DeployedEstimator:
         self.params = params
         self.pretrained = bool(manifest.get("pretrained", False))
         self.buckets = tuple(tuple(b) for b in manifest["buckets"])
-        self.max_batch = int(manifest["max_batch"])
+        # the serving ceiling is the largest exported batch dimension,
+        # not the raw --max-batch argument (export rounds up to the
+        # next power of two, so a bundle built with --max-batch 5
+        # really serves batches of 8)
+        self.max_batch = max(
+            (int(p["n"]) for p in manifest["programs"]),
+            default=int(manifest["max_batch"]),
+        )
         self.scales = tuple(manifest["scales"])
         self._programs = programs      # (n, h, w) -> Exported
         self._calls: dict[tuple, Any] = {}
@@ -196,21 +221,20 @@ class DeployedEstimator:
             self._calls[key] = jax.jit(exp.call)
         return self._calls[key]
 
-    def process_batch(self, images: np.ndarray,
-                      scales: tuple[float, ...] | None = None,
-                      valid_hw: np.ndarray | None = None) -> list[list[dict]]:
-        """Batched inference through the exported program for this
-        (batch, canvas) — same contract as ``PoseEstimator.process_batch``
-        except shapes must exist in the bundle and ``scales`` cannot
-        deviate from the exported ladder (it is compiled in)."""
-        import jax
-        import jax.numpy as jnp
+    def process_batch_async(self, images: np.ndarray,
+                            scales: tuple[float, ...] | None = None,
+                            valid_hw: np.ndarray | None = None):
+        """Dispatch through the exported program; returns (n, tables).
 
-        # tables -> people via decode.to_people directly: the bundle
-        # path must never pull in the flax model module (that is the
-        # point of the artifact; pinned by
-        # tests/test_deploy.py::test_bundle_fresh_process_no_model_code)
-        from tpupose.decode.api import to_people
+        Same contract as ``PoseEstimator.process_batch_async`` except
+        the canvas must exist in the bundle and ``scales`` cannot
+        deviate from the exported ladder (it is compiled in). Batch
+        sizes between exported programs are padded up to the next
+        exported power-of-two internally (padded rows dropped by
+        ``_finish``), so callers that pad to arbitrary batch sizes —
+        ``buckets.BucketedRunner`` pads to its ``batch_size`` — still
+        land on an exported program."""
+        import jax.numpy as jnp
 
         if scales is not None and tuple(scales) != self.scales:
             raise ValueError(
@@ -222,14 +246,45 @@ class DeployedEstimator:
         n, h, w = images.shape[:3]
         if valid_hw is None:
             valid_hw = np.tile(np.asarray([[h, w]], np.int32), (n, 1))
-        tables = jax.device_get(self._call((n, h, w))(
-            self.params, jnp.asarray(images),
-            jnp.asarray(valid_hw, jnp.int32),
-        ))
+        valid_hw = np.asarray(valid_hw, np.int32)
+        nb = 1 << (max(1, n) - 1).bit_length()
+        if nb > n:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], nb - n, axis=0)]
+            )
+            valid_hw = np.concatenate(
+                [valid_hw, np.repeat(valid_hw[-1:], nb - n, axis=0)]
+            )
+        tables = self._call((nb, h, w))(
+            self.params, jnp.asarray(images), jnp.asarray(valid_hw)
+        )
+        return n, tables
+
+    @staticmethod
+    def _finish(n: int, tables) -> list[list[dict]]:
+        import jax
+
+        # tables -> people via decode.to_people directly: the bundle
+        # path must never pull in the flax model module (that is the
+        # point of the artifact; pinned by
+        # tests/test_deploy.py::test_bundle_fresh_process_no_model_code)
+        from tpupose.decode.api import to_people
+
+        tables = jax.device_get(tables)
         return [
             to_people(jax.tree.map(lambda x: x[i], tables))
             for i in range(n)
         ]
+
+    def process_batch(self, images: np.ndarray,
+                      scales: tuple[float, ...] | None = None,
+                      valid_hw: np.ndarray | None = None) -> list[list[dict]]:
+        """Batched inference through the exported program for this
+        (batch, canvas) — same contract as ``PoseEstimator.process_batch``
+        with the bundle caveats of ``process_batch_async``."""
+        return self._finish(*self.process_batch_async(
+            images, scales=scales, valid_hw=valid_hw
+        ))
 
     def process(self, image: np.ndarray, draw: bool = False) -> dict:
         """Single-image convenience: routes through the bundle's bucket

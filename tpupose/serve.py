@@ -236,6 +236,54 @@ class MicroBatcher:
                     slot["done"].set()
 
 
+def rss_mb() -> float | None:
+    """Resident set size of this process in MB (Linux /proc; None where
+    unavailable). Exposed on ``/metrics`` so a deploy can watch serving
+    memory — in this sandbox the tunneled runtime client leaks ~0.3
+    MB/image (round-4 ``rss_isolation_r4`` pins it outside tpupose), so
+    an ops-facing gauge + the ``--max-rss-mb`` recycle guard are the
+    in-environment mitigation."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+class RssWatchdog(threading.Thread):
+    """Samples process RSS; sets ``tripped`` when it exceeds the limit.
+
+    The serving main loop waits on ``tripped`` and performs a clean
+    recycle (stop accepting, drain the batcher, exit nonzero) — the
+    supervisor-restart pattern: when the leak is below the application
+    (here: the sandbox's tunneled runtime client), bounding the process
+    lifetime is the only in-process mitigation."""
+
+    def __init__(self, limit_mb: float, interval_s: float = 5.0):
+        super().__init__(daemon=True)
+        self.limit_mb = float(limit_mb)
+        self.interval_s = float(interval_s)
+        self.tripped = threading.Event()
+        self.last_mb: float | None = None
+        self._stop = threading.Event()
+
+    def run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            mb = rss_mb()
+            if mb is None:
+                return  # no /proc: nothing to watch
+            self.last_mb = mb
+            if mb > self.limit_mb:
+                self.tripped.set()
+                return
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class ServeMetrics:
     """Lock-guarded serving counters for the ``/metrics`` endpoint.
 
@@ -301,6 +349,7 @@ class ServeMetrics:
                 "mean_batch": (
                     self.batched_images / self.batches if self.batches else None
                 ),
+                "rss_mb": rss_mb(),
             }
 
 
@@ -499,14 +548,46 @@ def warmup_estimator(estimator, buckets, max_batch: int = 1, scales=None,
     return warmed
 
 
+def _run_until_exit(server, max_rss_mb: float | None = None) -> int:
+    """Block until Ctrl-C (exit 0) or the RSS guard trips (exit 3 — the
+    supervisor-restart signal); always drains the batcher on the way out."""
+    wd = None
+    if max_rss_mb:
+        wd = RssWatchdog(max_rss_mb)
+        wd.start()
+    try:
+        while True:
+            if wd is not None:
+                if wd.tripped.wait(timeout=3600):
+                    print(
+                        f"rss {wd.last_mb:.0f} MB exceeded --max-rss-mb "
+                        f"{wd.limit_mb:.0f}; recycling (exit 3)",
+                        file=sys.stderr,
+                    )
+                    return 3
+            else:
+                time.sleep(3600)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        if wd is not None:
+            wd.stop()
+        server.shutdown()
+        if server.batcher is not None:
+            server.batcher.close()
+
+
 def main(argv=None) -> int:
     from tpupose.cli import _add_common_model_args, _estimator
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("--max-batch", type=int, default=1,
-                    help="> 1 enables cross-request micro-batching")
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="> 1 enables cross-request micro-batching "
+                         "(default: 1 for a live model, the bundle's "
+                         "exported maximum with --program; an explicit "
+                         "1 forces serial service either way)")
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
     ap.add_argument("--max-queue", type=int, default=None,
                     help="bound on queued requests before 503 shedding "
@@ -538,6 +619,13 @@ def main(argv=None) -> int:
         help="shard each device batch over N chips (data-parallel "
              "serving via a jax Mesh; 'auto' = every visible device). "
              "Pair with --max-batch >= N so batches actually span chips",
+    )
+    ap.add_argument(
+        "--max-rss-mb", type=float, default=None,
+        help="recycle guard: when process RSS exceeds this, stop "
+             "accepting, drain in-flight requests and exit 3 so a "
+             "supervisor restarts the server (bounds leaks below the "
+             "application, e.g. runtime-client growth)",
     )
     ap.add_argument(
         "--program", default=None, metavar="TPPX",
@@ -591,9 +679,12 @@ def main(argv=None) -> int:
                   "exist only for the exported canvases)",
                   file=sys.stderr)
             return 2
-        if args.max_batch == 1:
+        if args.max_batch is None:
             args.max_batch = est.max_batch
         elif args.max_batch > est.max_batch:
+            # est.max_batch is the largest EXPORTED batch dimension
+            # (export rounds --max-batch up to the next power of two),
+            # so a bundle built with --max-batch 5 accepts up to 8 here
             print(f"error: --max-batch {args.max_batch} exceeds the "
                   f"bundle's exported maximum {est.max_batch}",
                   file=sys.stderr)
@@ -615,16 +706,9 @@ def main(argv=None) -> int:
         print(f"serving bundle {args.program} on "
               f"http://{args.host}:{args.port}  "
               f"(pretrained={est.pretrained})")
-        try:
-            while True:
-                time.sleep(3600)
-        except KeyboardInterrupt:
-            pass
-        finally:
-            server.shutdown()
-            if server.batcher is not None:
-                server.batcher.close()
-        return 0
+        return _run_until_exit(server, args.max_rss_mb)
+    if args.max_batch is None:
+        args.max_batch = 1    # live-model default: serial dispatch
     if args.warmup and not bks:
         print("error: --warmup requires --buckets (without a bucket "
               "ladder the request shapes, hence the programs to "
@@ -661,16 +745,7 @@ def main(argv=None) -> int:
         max_pending=args.max_pending,
     )
     print(f"serving on http://{args.host}:{args.port}  (pretrained={est.pretrained})")
-    try:
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        pass
-    finally:
-        server.shutdown()
-        if server.batcher is not None:
-            server.batcher.close()
-    return 0
+    return _run_until_exit(server, args.max_rss_mb)
 
 
 if __name__ == "__main__":
