@@ -97,6 +97,30 @@ def main() -> int:
             fps.append(int(b["images"][0, 0, 0, 0]))
         print(f"SHARD_FPS {','.join(map(str, fps))}", flush=True)
 
+    # multi-host DP INFERENCE over the same mesh (round-4 VERDICT next
+    # #8a): the serving/eval-side DCN program. Both hosts build the
+    # same estimator (same seed), feed one local row each, and decode
+    # their own rows; the parent compares against a single-process
+    # decode of the global batch.
+    import json
+
+    from tpupose.config import InferenceConfig
+    from tpupose.infer import PoseEstimator
+    from tpupose.parallel.inference import multihost_process_batch
+
+    icfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(
+            scale_search=(0.5,), max_peaks=16, max_people=16
+        ),
+    )
+    est = PoseEstimator(icfg)
+    irng = np.random.default_rng(3)   # same on both hosts
+    imgs = irng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8)
+    people = multihost_process_batch(est, imgs[pid : pid + 1])
+    assert len(people) == 1
+    print(f"INFER_PEOPLE {json.dumps(people[0], sort_keys=True)}", flush=True)
+
     print(f"MULTIHOST_OK {loss:.6f}", flush=True)
     return 0
 

@@ -83,3 +83,32 @@ def test_two_process_distributed_train_step(tmp_path):
     # shard="auto" split the epoch disjointly and covered every record
     assert not shards[0] & shards[1]
     assert shards[0] | shards[1] == set(range(6))
+
+    # multi-host DP inference: each worker decoded its own row of the
+    # global batch; together they must equal a single-process decode of
+    # the same 2-image batch with the same seeds (DCN serving parity)
+    import json
+
+    got = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith("INFER_PEOPLE ")]
+        assert lines, out
+        got.append(json.loads(lines[0].split(" ", 1)[1]))
+
+    from tpupose.config import (InferenceConfig, ModelConfig, PoseConfig)
+    from tpupose.infer import PoseEstimator
+
+    icfg = PoseConfig(
+        model=ModelConfig(num_stages=1, compute_dtype="float32"),
+        inference=InferenceConfig(
+            scale_search=(0.5,), max_peaks=16, max_people=16
+        ),
+    )
+    est = PoseEstimator(icfg)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8)
+    expected = est.process_batch(imgs)
+    assert json.dumps(got, sort_keys=True) == json.dumps(
+        expected, sort_keys=True
+    )

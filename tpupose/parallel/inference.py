@@ -146,3 +146,63 @@ def dp_process_batch(
     ``mesh``'s 'data' axis (functional form of
     :class:`DataParallelEstimator`)."""
     return DataParallelEstimator(est, mesh).process_batch(images, scales)
+
+
+def multihost_process_batch(
+    est: Any,
+    local_images: np.ndarray,
+    scales: tuple[float, ...] | None = None,
+    valid_hw: np.ndarray | None = None,
+    mesh: Mesh | None = None,
+) -> list[list[dict]]:
+    """DP inference over a multi-host mesh (DCN): every process calls
+    this with ITS rows of the global batch; the one SPMD program runs
+    over all hosts' devices and each process gets people for its own
+    rows back.
+
+    The serving/eval-side counterpart of the multi-host TRAIN step
+    (`parallel.distributed.init_multihost` + the sharded train step):
+    the same program a `jax.distributed`-initialised TPU pod slice
+    would run for batched inference, with the global device batch
+    assembled via ``jax.make_array_from_process_local_data`` so no
+    host ever materialises another host's images. Requirements: every
+    process passes the same ``local_images.shape`` (SPMD — one global
+    shape), and the mesh (default: all devices, 1-D 'data') lists
+    devices process-major (``jax.devices()`` order), which places each
+    process's rows on its own devices.
+    """
+    n_proc = jax.process_count()
+    n_local, h, w = local_images.shape[:3]
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    n_global = n_local * n_proc
+    if n_global % mesh.devices.size:
+        raise ValueError(
+            f"global batch {n_global} not divisible by the mesh's "
+            f"{mesh.devices.size} devices; pad per host first"
+        )
+    imgs = jax.make_array_from_process_local_data(
+        shard, np.ascontiguousarray(local_images),
+        (n_global, *local_images.shape[1:]),
+    )
+    masked = valid_hw is not None
+    if masked:
+        vhw = jax.make_array_from_process_local_data(
+            shard, np.ascontiguousarray(np.asarray(valid_hw, np.int32)),
+            (n_global, 2),
+        )
+    fn = est._batch_fn(n_global, h, w, scales, masked=masked)
+    tables = fn(est.params, imgs, vhw) if masked else fn(est.params, imgs)
+
+    # pull back only this process's rows: the addressable shards of
+    # each leaf, stitched in global-row order (process-major mesh =>
+    # contiguous [pid*n_local, (pid+1)*n_local) slice)
+    def local_rows(leaf):
+        shards = sorted(
+            leaf.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    local_tables = jax.tree.map(local_rows, tables)
+    return est._finish(n_local, local_tables)
