@@ -56,6 +56,7 @@ ADAPT_STEPS = int(os.environ.get("FL_ADAPT_STEPS", 800))
 N_BOOT = int(os.environ.get("FL_N_BOOT", 1000))
 N_EVAL_A = int(os.environ.get("FL_N_EVAL_A", 60))
 N_EVAL_B = int(os.environ.get("FL_N_EVAL_B", 120))
+WORKROOT = os.environ.get("FL_WORKROOT", "/tmp/fl5")
 SCALES_4 = (0.5, 1.0, 1.5, 2.0)
 SCALES_2 = (0.5, 1.0)
 SCALES_1 = (1.0,)
@@ -126,10 +127,13 @@ def ci_str(value, lo, hi):
 def main():
     import jax
 
-    from tpupose.utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache("/tmp/fl_r5_jax_cache")
     print("backend:", jax.default_backend(), flush=True)
+    if jax.default_backend() == "tpu":
+        # dedupe the per-estimator program compiles across arms; the
+        # CPU smoke skips it (XLA:CPU AOT entries are machine-pinned)
+        from tpupose.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache("/tmp/fl_r5_jax_cache")
     t0 = time.time()
 
     ds = {
@@ -174,7 +178,7 @@ def main():
         cfg = cfg_for(stages, batch)
         t = time.time()
         base = loop.train(cfg, pipeline.dataset_batches(a_train, cfg),
-                          workdir=f"/tmp/fl5_{name}", max_steps=steps)
+                          workdir=f"{WORKROOT}_{name}", max_steps=steps)
         heads = {k: round(float(v), 2)
                  for k, v in sorted(base["last_losses"].items())}
         print(f"{name}: {base['steps']} steps, "
@@ -183,7 +187,7 @@ def main():
         t = time.time()
         ft_cfg = dataclasses.replace(cfg, train=cfg.train.frozen_vgg())
         ft = loop.train(ft_cfg, pipeline.dataset_batches(b_train, ft_cfg),
-                        workdir=f"/tmp/fl5_{name}_ft", max_steps=ADAPT_STEPS,
+                        workdir=f"{WORKROOT}_{name}_ft", max_steps=ADAPT_STEPS,
                         params=base["state"]["params"])
         print(f"{name} finetune: {ft['steps']} steps, "
               f"{time.time() - t:.0f}s", flush=True)
@@ -193,7 +197,7 @@ def main():
     cfg6 = arms["s6_10k"][0]
     t = time.time()
     scratch = loop.train(cfg6, pipeline.dataset_batches(b_train, cfg6),
-                         workdir="/tmp/fl5_scratch", max_steps=ADAPT_STEPS)
+                         workdir=f"{WORKROOT}_scratch", max_steps=ADAPT_STEPS)
     est_scratch = PoseEstimator(cfg6, params=scratch["state"]["params"])
     print(f"scratch: {scratch['steps']} steps, {time.time() - t:.0f}s",
           flush=True)

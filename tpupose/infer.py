@@ -46,8 +46,15 @@ class PoseEstimator:
         seed: int = 0,
     ):
         self.cfg = cfg
+        from tpupose import ops as _ops
+
         self.model = OpenPose(
-            num_stages=cfg.model.num_stages, dtype=jnp.dtype(cfg.model.compute_dtype)
+            num_stages=cfg.model.num_stages,
+            dtype=jnp.dtype(cfg.model.compute_dtype),
+            # fused block-1 kernel on the inference path only (no VJP;
+            # the trainer's OpenPose keeps the differentiable XLA convs
+            # — the param tree is identical either way)
+            pallas_block1=_ops.use_pallas_block1(),
         )
         if params is None:
             dummy = jnp.zeros((1, cfg.model.boxsize, cfg.model.boxsize, 3), jnp.float32)

@@ -121,11 +121,32 @@ class FoldedConv3x3(nn.Module):
                 .reshape(batch, h, w, self.features))
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter holder matching ``nn.Conv(features, (3, 3))``'s tree
+    ({kernel: (3, 3, cin, features), bias: (features,)}, same
+    initializers) without running the conv — the fused Pallas block-1
+    kernel consumes the raw tensors, and checkpoints / reference weight
+    ingest / export see an identical structure either way."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32)
+        return kernel, bias
+
+
 class VGGBackbone(nn.Module):
     """VGG19 conv1_1..conv4_2 + conv4_3_CPM/conv4_4_CPM -> stride-8 features."""
 
     dtype: Dtype = jnp.bfloat16
     fold_conv1: bool = False
+    pallas_block1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -136,13 +157,27 @@ class VGGBackbone(nn.Module):
         def pool(x):
             return nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        # Block 1-2
-        if self.fold_conv1:
-            x = nn.relu(FoldedConv3x3(64, dtype=self.dtype, name="conv1_1")(x))
+        # Block 1-2. The fused Pallas kernel computes
+        # conv1_1+relu+conv1_2+relu+pool1 in one HBM pass (inference
+        # path; see ops/pallas_block1.py) — bf16-only, geometry-gated,
+        # falling back to the XLA convs otherwise.
+        fuse = (self.pallas_block1 and self.dtype == jnp.bfloat16
+                and x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0)
+        if fuse:
+            from tpupose.ops.pallas_block1 import fused_block1
+
+            k1, b1 = _Conv3x3Params(64, name="conv1_1")(x.shape[-1])
+            k2, b2 = _Conv3x3Params(64, name="conv1_2")(64)
+            x = fused_block1(
+                x, k1, b1, k2, b2,
+                interpret=jax.default_backend() != "tpu")
         else:
-            x = conv(x, 64, "conv1_1")
-        x = conv(x, 64, "conv1_2")
-        x = pool(x)
+            if self.fold_conv1:
+                x = nn.relu(FoldedConv3x3(64, dtype=self.dtype, name="conv1_1")(x))
+            else:
+                x = conv(x, 64, "conv1_1")
+            x = conv(x, 64, "conv1_2")
+            x = pool(x)
         x = conv(x, 128, "conv2_1")
         x = conv(x, 128, "conv2_2")
         x = pool(x)
@@ -228,6 +263,9 @@ class OpenPose(nn.Module):
     # compute conv1_1 at half resolution via space-to-depth (identical
     # math and params — see FoldedConv3x3)
     fold_conv1: bool = False
+    # fused Pallas block-1 (conv1_1+relu+conv1_2+relu+pool1, one HBM
+    # pass — ops/pallas_block1.py); inference-only (no VJP)
+    pallas_block1: bool = False
     # rematerialise each stage branch in the backward pass: trades ~1/3
     # of the forward FLOPs for not keeping the 5x (46,46,128) 7x7-conv
     # activations of every stage alive until the backward — the memory
@@ -239,6 +277,7 @@ class OpenPose(nn.Module):
         s1 = nn.remat(Stage1Branch) if self.remat else Stage1Branch
         st = nn.remat(StageTBranch) if self.remat else StageTBranch
         feat = VGGBackbone(dtype=self.dtype, fold_conv1=self.fold_conv1,
+                           pallas_block1=self.pallas_block1,
                            name="vgg")(image)
         feat = CPMFeature(dtype=self.dtype, name="cpm")(feat)
 

@@ -21,6 +21,17 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def use_pallas_block1() -> bool:
+    """Fused block-1 kernel (conv1_1+relu+conv1_2+relu+pool1 in one HBM
+    pass, ops/pallas_block1.py) on the inference path. TPU default
+    pending the round-5 measurement (experiments/block1_pallas_r5.py);
+    TPUPOSE_PALLAS_BLOCK1=0/1 overrides."""
+    env = os.environ.get("TPUPOSE_PALLAS_BLOCK1")
+    if env is not None:
+        return env not in ("", "0") and use_pallas()
+    return use_pallas()
+
+
 def use_pallas_gt() -> bool:
     """The GT-rasterise Pallas kernel is DEMOTED from the default path:
     measured 3.08 ms vs 2.56 ms for the XLA fallback (batch 10, mask
