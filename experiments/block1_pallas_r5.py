@@ -44,13 +44,18 @@ def main():
 
     ref_j = jax.jit(block1_reference)
     out = {}
+    # device-resident operands: on the tunneled backend a host numpy
+    # arg costs a ~13 MB transfer per call (~65 ms/img at 368^2 b8),
+    # which swamps the ~0.5 ms kernel under test (first run's mistake)
+    k1d, b1d, k2d, b2d = map(jax.device_put, (k1, b1, k2, b2))
     # the four pyramid canvas heights at 368 boxsize (0.5/1/1.5/2x),
     # batch 8 = the product pyramid's per-scale batch
     for (h, w, bs) in [(184, 184, 8), (368, 368, 8), (552, 552, 8),
                        (736, 736, 8), (368, 368, 1), (368, 368, 16)]:
         x = rng.normal(0, 0.3, (bs, h, w, 3)).astype(np.float32)
-        ms_xla = bench(ref_j, x, k1, b1, k2, b2)
-        ms_pal = bench(fused_block1, x, k1, b1, k2, b2)
+        xd = jax.device_put(x)
+        ms_xla = bench(ref_j, xd, k1d, b1d, k2d, b2d)
+        ms_pal = bench(fused_block1, xd, k1d, b1d, k2d, b2d)
         # on-chip parity vs f32
         truth = np.asarray(
             jax.jit(lambda *a: block1_reference(*a, dtype=jnp.float32))(
