@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from tpupose import ops as _ops
 from tpupose import topology
 from tpupose.decode.scalespace import ScaleSpace, sample_avg
 
@@ -113,7 +114,13 @@ def _limb_pair_scores(
         out_h, out_w = paf_xy.out_hw
         sampler = partial(sample_avg, paf_xy)
         fuse_all = k * k * mid_num <= 16384
+        # Crowd tiers (K >= 96): the chunked HBM readout below costs
+        # ~289 ms/batch-8; the fused VMEM kernel evaluates the same
+        # interpolant ~10x faster (ops/pallas_sample.py). Trace-time
+        # gate, like _paf_sampler.
+        scale_space_fused = (not fuse_all) and _ops.use_pallas_sample()
     else:
+        scale_space_fused = False
         out_h, out_w = paf_xy.shape[0], paf_xy.shape[1]
         # The full-res one-hot matmul materialises a (K*K, W, 2) f32
         # intermediate per limb (x batch under vmap) — ~7.7 GB at the
@@ -139,6 +146,14 @@ def _limb_pair_scores(
             ayf[:, None, None] + dy[:, :, None] * t,    # (K, K, M)
             axf[:, None, None] + dx[:, :, None] * t,
         )                                               # (K, K, M, 2)
+    elif scale_space_fused:
+        from tpupose.ops.pallas_sample import fused_sample_avg
+
+        my = ayf[:, None, None] + dy[:, :, None] * t
+        mx = axf[:, None, None] + dx[:, :, None] * t
+        iy = jnp.clip(jnp.round(my).astype(jnp.int32), 0, out_h - 1)
+        ix = jnp.clip(jnp.round(mx).astype(jnp.int32), 0, out_w - 1)
+        sampled = fused_sample_avg(paf_xy, iy, ix)      # (K, K, M, 2)
     else:
         sampled = jnp.stack(
             [

@@ -32,6 +32,18 @@ def use_pallas_block1() -> bool:
     return use_pallas()
 
 
+def use_pallas_sample() -> bool:
+    """Fused scale-space point readout (ops/pallas_sample.py) on the
+    dense-crowd decode tiers (K^2*mid_num beyond the fuse-all budget).
+    The chunked HBM path it replaces measured 289 ms/batch-8 at K=96
+    (round-3 dense-decode table); TPUPOSE_PALLAS_SAMPLE=0/1 overrides.
+    Read at trace time — baked into the decode's jit caches."""
+    env = os.environ.get("TPUPOSE_PALLAS_SAMPLE")
+    if env is not None:
+        return env not in ("", "0") and use_pallas()
+    return use_pallas()
+
+
 def use_pallas_gt() -> bool:
     """The GT-rasterise Pallas kernel is DEMOTED from the default path:
     measured 3.08 ms vs 2.56 ms for the XLA fallback (batch 10, mask
