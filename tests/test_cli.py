@@ -537,3 +537,33 @@ def test_demo_video_tracking_stable_ids(tmp_path, monkeypatch):
         n += 1
     cap.release()
     assert n == 5
+
+
+def test_max_peaks_flag_rebuilds_tier_ladders():
+    """--max-peaks raises the decode capacity and keeps the tier
+    ladders consistent: tiers >= the new cap are dropped, and raising
+    past 96 inserts 96 as a middle tier (docs/serving.md crowd
+    envelope)."""
+    import argparse
+
+    from tpupose import cli as cli_mod
+
+    def cfg_for(mp):
+        ns = argparse.Namespace(
+            config=None, scales=None, boxsize=None, stages=None,
+            decode_groups=None, max_peaks=mp, weights=None,
+            checkpoint=None)
+        return cli_mod._config(ns)
+
+    base = cfg_for(None)
+    assert base.inference.max_peaks == 96
+
+    crowd = cfg_for(128)
+    assert crowd.inference.max_peaks == 128
+    assert crowd.inference.pair_tiers == (8, 16, 32, 64, 96)
+    assert all(t < 128 for t in crowd.inference.peak_compact_tiers)
+
+    tight = cfg_for(32)
+    assert tight.inference.max_peaks == 32
+    assert tight.inference.pair_tiers == (8, 16)
+    assert all(t < 32 for t in tight.inference.peak_compact_tiers)

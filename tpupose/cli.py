@@ -46,6 +46,14 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
              "tiers (crowd-mixed batches up to 4.3x; adaptive cond makes "
              "uniform batches ~free; compile time grows with N)",
     )
+    p.add_argument(
+        "--max-peaks", type=int, default=None,
+        help="decode capacity: candidate peaks per part channel "
+             "(default 96). Raise for uniformly dense crowds (e.g. 128); "
+             "scenes past the capacity keep only the strongest peaks. "
+             "Cost scales O(K^2) on the top tier — see "
+             "docs/serving.md crowd envelope",
+    )
 
 
 def _config(args) -> "PoseConfig":
@@ -90,6 +98,22 @@ def _config(args) -> "PoseConfig":
             cfg,
             inference=dataclasses.replace(
                 cfg.inference, decode_groups=args.decode_groups
+            ),
+        )
+    if getattr(args, "max_peaks", None):
+        mp = args.max_peaks
+        inf = cfg.inference
+        cfg = dataclasses.replace(
+            cfg,
+            inference=dataclasses.replace(
+                inf, max_peaks=mp,
+                # keep the ladders consistent with the new capacity;
+                # raising past 96 keeps 96 as a middle tier so typical
+                # crowds don't pay the new top tier
+                pair_tiers=tuple(sorted(
+                    {t for t in (*inf.pair_tiers, 96) if t < mp})),
+                peak_compact_tiers=tuple(
+                    t for t in inf.peak_compact_tiers if t < mp),
             ),
         )
     return cfg
