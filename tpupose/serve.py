@@ -656,6 +656,8 @@ def main(argv=None) -> int:
                           ("--stages", args.stages),
                           ("--decode-groups",
                            getattr(args, "decode_groups", None)),
+                          ("--max-peaks",
+                           getattr(args, "max_peaks", None)),
                           ("--dp", args.dp)):
             if val:
                 print(f"error: {flag} cannot be combined with --program "
