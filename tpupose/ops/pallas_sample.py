@@ -93,8 +93,8 @@ def _sample_kernel(shapes, out_hw, stride, nch, my_ref, mx_ref,
     out_ref = refs[-1]
     p = my_ref.shape[-1]
     out_h, out_w = out_hw
-    my = my_ref[:, :]                                      # (1, P)
-    mx = mx_ref[:, :]
+    my = my_ref[0, :, :]                                   # (1, P)
+    mx = mx_ref[0, :, :]
 
     accs = [jnp.zeros((1, p), jnp.float32) for _ in range(nch)]
     for s, (hl, wl, hlp, wlp, rh, rw) in enumerate(shapes):
@@ -145,8 +145,13 @@ def fused_sample_avg(space, iy: jnp.ndarray, ix: jnp.ndarray,
     p_tot = iyf.shape[0]
     nblk = max(1, -(-p_tot // _PBLK))
     padded = nblk * _PBLK
-    iyf = jnp.pad(iyf, (0, padded - p_tot)).reshape(nblk, _PBLK)
-    ixf = jnp.pad(ixf, (0, padded - p_tot)).reshape(nblk, _PBLK)
+    # Singleton sublane axis: Mosaic requires the block's last-two dims
+    # to be (8k, 128k) or to EQUAL the array dims — a (1, PBLK) block
+    # over an (nblk, PBLK) array is rejected on real TPU once nblk > 1
+    # (interpret mode does not enforce this), so the point blocks ride
+    # as (nblk, 1, PBLK) with the grid stepping the leading axis only.
+    iyf = jnp.pad(iyf, (0, padded - p_tot)).reshape(nblk, 1, _PBLK)
+    ixf = jnp.pad(ixf, (0, padded - p_tot)).reshape(nblk, 1, _PBLK)
 
     shapes = []
     maps_t = []
@@ -162,9 +167,9 @@ def fused_sample_avg(space, iy: jnp.ndarray, ix: jnp.ndarray,
         kern,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, _PBLK), lambda j: (j, 0),
+            pl.BlockSpec((1, 1, _PBLK), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PBLK), lambda j: (j, 0),
+            pl.BlockSpec((1, 1, _PBLK), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec(mt.shape[-2:], lambda j: (0, 0),
