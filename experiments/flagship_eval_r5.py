@@ -198,28 +198,45 @@ def main():
     t = time.time()
     scratch = loop.train(cfg6, pipeline.dataset_batches(b_train, cfg6),
                          workdir=f"{WORKROOT}_scratch", max_steps=ADAPT_STEPS)
-    est_scratch = PoseEstimator(cfg6, params=scratch["state"]["params"])
     print(f"scratch: {scratch['steps']} steps, {time.time() - t:.0f}s",
           flush=True)
 
     # --- predictions ------------------------------------------------------
+    # ONE estimator per stage count: PoseEstimator's jitted programs take
+    # params as a traced argument, so swapping device-resident params
+    # reuses every compiled (geometry x scales) program across the
+    # base/ft/scratch variants — on the tunneled backend each compile
+    # costs 35-756 s (warmup_r4_tpu.log), so this is the difference
+    # between ~5 prediction compiles and ~19.
+    est_cache = {}
+
+    def est_for(cfg, params):
+        key = cfg.model.num_stages
+        if key not in est_cache:
+            est_cache[key] = PoseEstimator(cfg, params=params)
+        est = est_cache[key]
+        est.params = jax.device_put(params)
+        return est
+
     t = time.time()
-    preds_b = {"scratch6_4s": predict(est_scratch, imgs_b, SCALES_4)}
+    preds_b = {"scratch6_4s": predict(
+        est_for(cfg6, scratch["state"]["params"]), imgs_b, SCALES_4)}
     preds_a = {}
     for name, (cfg, base_p, ft_p) in arms.items():
-        eb = PoseEstimator(cfg, params=base_p)
-        ef = PoseEstimator(cfg, params=ft_p)
+        eb = est_for(cfg, base_p)
         preds_b[f"{name}_zeroshot_4s"] = predict(eb, imgs_b, SCALES_4)
         preds_b[f"{name}_zeroshot_1s"] = predict(eb, imgs_b, SCALES_1)
-        preds_b[f"{name}_ft_4s"] = predict(ef, imgs_b, SCALES_4)
-        preds_b[f"{name}_ft_1s"] = predict(ef, imgs_b, SCALES_1)
         preds_a[f"{name}_base_4s"] = predict(eb, imgs_a, SCALES_4)
         preds_a[f"{name}_base_1s"] = predict(eb, imgs_a, SCALES_1)
-        preds_a[f"{name}_retention_4s"] = predict(ef, imgs_a, SCALES_4)
         if name == "s6_30k":
             preds_b[f"{name}_zeroshot_2s"] = predict(eb, imgs_b, SCALES_2)
-            preds_b[f"{name}_ft_2s"] = predict(ef, imgs_b, SCALES_2)
             preds_a[f"{name}_base_2s"] = predict(eb, imgs_a, SCALES_2)
+        ef = est_for(cfg, ft_p)
+        preds_b[f"{name}_ft_4s"] = predict(ef, imgs_b, SCALES_4)
+        preds_b[f"{name}_ft_1s"] = predict(ef, imgs_b, SCALES_1)
+        preds_a[f"{name}_retention_4s"] = predict(ef, imgs_a, SCALES_4)
+        if name == "s6_30k":
+            preds_b[f"{name}_ft_2s"] = predict(ef, imgs_b, SCALES_2)
         print(f"predictions [{name}]: cumulative {time.time() - t:.0f}s",
               flush=True)
 
