@@ -52,6 +52,15 @@ import numpy as np
 
 BASE_STEPS = int(os.environ.get("FL_BASE_STEPS", 10000))
 LONG_STEPS = int(os.environ.get("FL_LONG_STEPS", 30000))
+# FL_CONT=1: budget-probe arm continues the s6_10k checkpoint (same
+# batch 10 recipe, workdir copied) to LONG_STEPS instead of training a
+# separate batch-16 arm from scratch — budget differs by STEPS ONLY and
+# the first 10k steps are shared, so the budget delta is a paired
+# continuation. Used on the tunneled sandbox where a fresh 30k-step
+# batch-16 arm does not fit the round's wall clock (~330 ms/step
+# end-to-end with tunnel transfer + one transient ~25-min outage
+# observed mid-run).
+CONT = os.environ.get("FL_CONT", "") not in ("", "0")
 ADAPT_STEPS = int(os.environ.get("FL_ADAPT_STEPS", 800))
 N_BOOT = int(os.environ.get("FL_N_BOOT", 1000))
 N_EVAL_A = int(os.environ.get("FL_N_EVAL_A", 60))
@@ -128,12 +137,11 @@ def main():
     import jax
 
     print("backend:", jax.default_backend(), flush=True)
-    if jax.default_backend() == "tpu":
-        # dedupe the per-estimator program compiles across arms; the
-        # CPU smoke skips it (XLA:CPU AOT entries are machine-pinned)
-        from tpupose.utils.compile_cache import enable_compile_cache
-
-        enable_compile_cache("/tmp/fl_r5_jax_cache")
+    # NOTE: no persistent compile cache here. On the tunneled axon
+    # backend it cannot shortcut remote compiles (coldstart_r3_tpu.log)
+    # and enabling it stalled the first train-step compile >19 min in
+    # this round's first launch attempt (executable serialization through
+    # the tunnel); prediction-compile dedupe comes from est_for() below.
     t0 = time.time()
 
     ds = {
@@ -169,12 +177,27 @@ def main():
         return with_scales(SCALES_4, c)
 
     # --- pretraining arms ------------------------------------------------
+    long_name = f"s6_{LONG_STEPS // 1000}k"
+    if CONT:
+        arm_specs = (
+            ("s2_10k", 2, 10, BASE_STEPS),
+            ("s6_10k", 6, 10, BASE_STEPS),
+            (long_name, 6, 10, LONG_STEPS),
+        )
+        # the budget arm resumes the s6_10k trajectory in its own workdir
+        import shutil
+
+        src, dst = f"{WORKROOT}_s6_10k", f"{WORKROOT}_{long_name}"
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            shutil.copytree(src, dst)
+    else:
+        arm_specs = (
+            ("s2_10k", 2, 10, BASE_STEPS),
+            ("s6_10k", 6, 10, BASE_STEPS),
+            ("s6_30k", 6, 16, LONG_STEPS),
+        )
     arms = {}   # name -> (cfg, base_params, ft_params)
-    for name, stages, batch, steps in (
-        ("s2_10k", 2, 10, BASE_STEPS),
-        ("s6_10k", 6, 10, BASE_STEPS),
-        ("s6_30k", 6, 16, LONG_STEPS),
-    ):
+    for name, stages, batch, steps in arm_specs:
         cfg = cfg_for(stages, batch)
         t = time.time()
         base = loop.train(cfg, pipeline.dataset_batches(a_train, cfg),
@@ -228,14 +251,14 @@ def main():
         preds_b[f"{name}_zeroshot_1s"] = predict(eb, imgs_b, SCALES_1)
         preds_a[f"{name}_base_4s"] = predict(eb, imgs_a, SCALES_4)
         preds_a[f"{name}_base_1s"] = predict(eb, imgs_a, SCALES_1)
-        if name == "s6_30k":
+        if name == long_name:
             preds_b[f"{name}_zeroshot_2s"] = predict(eb, imgs_b, SCALES_2)
             preds_a[f"{name}_base_2s"] = predict(eb, imgs_a, SCALES_2)
         ef = est_for(cfg, ft_p)
         preds_b[f"{name}_ft_4s"] = predict(ef, imgs_b, SCALES_4)
         preds_b[f"{name}_ft_1s"] = predict(ef, imgs_b, SCALES_1)
         preds_a[f"{name}_retention_4s"] = predict(ef, imgs_a, SCALES_4)
-        if name == "s6_30k":
+        if name == long_name:
             preds_b[f"{name}_ft_2s"] = predict(ef, imgs_b, SCALES_2)
         print(f"predictions [{name}]: cumulative {time.time() - t:.0f}s",
               flush=True)
@@ -276,14 +299,14 @@ def main():
 
     # Q1: does the flagship beat the 2-stage under one protocol?
     for dom, boot, suffix in (("A", boot_a, "base"), ("B", boot_b, "ft")):
-        for arm in ("s6_10k", "s6_30k"):
+        for arm in ("s6_10k", long_name):
             delta(boot, f"{arm}_{suffix}_4s", f"s2_10k_{suffix}_4s",
                   f"[{dom}] {arm} - s2_10k ({suffix}, 4s)")
     # Q1b: what the budget bought
-    delta(boot_a, "s6_30k_base_4s", "s6_10k_base_4s",
-          "[A] budget 30k - 10k (base, 4s)")
-    delta(boot_b, "s6_30k_ft_4s", "s6_10k_ft_4s",
-          "[B] budget 30k - 10k (ft, 4s)")
+    delta(boot_a, f"{long_name}_base_4s", "s6_10k_base_4s",
+          f"[A] budget {long_name} - 10k (base, 4s)")
+    delta(boot_b, f"{long_name}_ft_4s", "s6_10k_ft_4s",
+          f"[B] budget {long_name} - 10k (ft, 4s)")
     # Q2: when does the pyramid pay? (per arm, both domains)
     for arm in arms:
         delta(boot_a, f"{arm}_base_4s", f"{arm}_base_1s",
