@@ -61,6 +61,9 @@ LONG_STEPS = int(os.environ.get("FL_LONG_STEPS", 30000))
 # end-to-end with tunnel transfer + one transient ~25-min outage
 # observed mid-run).
 CONT = os.environ.get("FL_CONT", "") not in ("", "0")
+# FL_SKIP_2S=1 drops the 2-scale extra sets (one more ~10-min tunnel
+# compile); the per-size AP_M/AP_L tables carry the pyramid mechanism.
+SKIP_2S = os.environ.get("FL_SKIP_2S", "") not in ("", "0")
 ADAPT_STEPS = int(os.environ.get("FL_ADAPT_STEPS", 800))
 N_BOOT = int(os.environ.get("FL_N_BOOT", 1000))
 N_EVAL_A = int(os.environ.get("FL_N_EVAL_A", 60))
@@ -251,14 +254,14 @@ def main():
         preds_b[f"{name}_zeroshot_1s"] = predict(eb, imgs_b, SCALES_1)
         preds_a[f"{name}_base_4s"] = predict(eb, imgs_a, SCALES_4)
         preds_a[f"{name}_base_1s"] = predict(eb, imgs_a, SCALES_1)
-        if name == long_name:
+        if name == long_name and not SKIP_2S:
             preds_b[f"{name}_zeroshot_2s"] = predict(eb, imgs_b, SCALES_2)
             preds_a[f"{name}_base_2s"] = predict(eb, imgs_a, SCALES_2)
         ef = est_for(cfg, ft_p)
         preds_b[f"{name}_ft_4s"] = predict(ef, imgs_b, SCALES_4)
         preds_b[f"{name}_ft_1s"] = predict(ef, imgs_b, SCALES_1)
         preds_a[f"{name}_retention_4s"] = predict(ef, imgs_a, SCALES_4)
-        if name == long_name:
+        if name == long_name and not SKIP_2S:
             preds_b[f"{name}_ft_2s"] = predict(ef, imgs_b, SCALES_2)
         print(f"predictions [{name}]: cumulative {time.time() - t:.0f}s",
               flush=True)
